@@ -1,0 +1,116 @@
+"""Span-level parse operators — pure Spark SQL (JVM, codegen'd).
+
+Everything here is a Column expression or a DataFrame transform built
+from pyspark.sql.functions only: no Python in the hot path. These are
+the Spark-first equivalents of the reference's loader post-processing:
+
+  * page-header strip / page-number extraction — the doc2txt
+    page-separator convention (document_loader_doc2txt.py:125-127).
+  * interleaved media-marker replacement ``![id](id)`` →
+    ``[Image content: id]`` — the Mistral-OCR inline replacement
+    (document_loader_mistral_ocr.py:629-641).
+  * format detection from span kind / content prefix — the loader
+    dispatch + ``is_pdf_stream`` magic check
+    (extractor.py:92-126, utils.py:48-84).
+  * paragraph split ``\\n\\n`` → posexplode — the txt loader
+    (document_loader_txt.py:119).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from extractthinker_spark.schemas import PAGE_HEADER_PREFIX
+
+# ``![alt](target)`` marker, replaced with the alt id (group 1).
+MEDIA_MARKER_RE = r"!\[([^\]]*)\]\(([^)]*)\)"
+PAGE_HEADER_RE = r"^\fPAGE (\d+)\n"
+
+
+def replace_media_markers(text: Column) -> Column:
+    """Inline ``![id](id)`` → ``[Image content: id]``, order-preserving."""
+    return F.regexp_replace(text, MEDIA_MARKER_RE, r"[Image content: $1]")
+
+
+def strip_page_header(text: Column) -> Column:
+    return F.regexp_replace(text, PAGE_HEADER_RE, "")
+
+
+def page_number(text: Column) -> Column:
+    """1-based page number from the ``\\fPAGE k\\n`` header, NULL if absent."""
+    n = F.regexp_extract(text, PAGE_HEADER_RE, 1)
+    return F.when(n != "", n.cast("int"))
+
+
+def detect_format(kind: Column, text: Column) -> Column:
+    """Route spans to a parse branch. Mirrors loader dispatch: explicit
+    kind wins; otherwise sniff content (magic-prefix checks)."""
+    return (
+        F.when(kind.isin("html", "pdf_text", "media", "table"), kind)
+        .when(text.isNull(), F.lit("empty"))
+        .when(F.lower(F.ltrim(text)).startswith("<!doctype html"), F.lit("html"))
+        .when(F.lower(F.ltrim(text)).startswith("<html"), F.lit("html"))
+        .when(text.startswith("%PDF-"), F.lit("pdf_text"))
+        .when(text.startswith(PAGE_HEADER_PREFIX), F.lit("pdf_text"))
+        .otherwise(F.lit("text"))
+    )
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans[]) → flat span rows, order kept in ``offset``.
+
+    Uses explode_outer so zero-span documents survive (as a single
+    all-null span row, filtered back out at nest time) — silently
+    dropping rows is not acceptable at corpus scale."""
+    return documents.select(
+        "doc_id", F.explode_outer("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def nest_spans(flat: DataFrame, order_col: str = "offset") -> DataFrame:
+    """Inverse of explode_spans. Span order is restored from the data
+    (sort_array on the leading ``offset`` struct field), never from
+    partition order — the shuffle-safety rule of SURVEY.md §7.4."""
+    nested = (
+        flat.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).cast("int").alias("_ord"),
+                        "kind", "text", "media_ref",
+                    )
+                )
+            ).alias("_sorted")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                # placeholder rows from explode_outer (empty docs) have a
+                # NULL sort key; drop them so empty docs nest to [].
+                F.filter("_sorted", lambda s: s["_ord"].isNotNull()),
+                lambda s, i: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    return nested
+
+
+def split_paragraphs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """txt-loader semantics: one row per ``\\n\\n``-separated paragraph,
+    position preserved (posexplode)."""
+    return df.select(
+        "*", F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("para_no", "para")
+    ).drop(text_col)

@@ -1,0 +1,69 @@
+"""HTML boilerplate-strip spec tests (the S4 + density upgrade)."""
+
+from extractthinker_spark.operators.parse_html import (
+    extract_main_text,
+    parse_html_blocks,
+)
+
+
+def test_removes_script_style_nav_footer_head():
+    html = (
+        "<html><head><title>T</title><style>.x{}</style>"
+        "<script>var a=1;</script></head><body>"
+        "<nav>Home | About</nav><p>Main content here.</p>"
+        "<footer>© corp</footer></body></html>"
+    )
+    assert extract_main_text(html) == "Main content here."
+
+
+def test_link_farm_dropped_article_kept():
+    html = (
+        "<body><article><h1>Title Words</h1><p>Real paragraph text.</p></article>"
+        '<div><a href="/a">link one</a> <a href="/b">link two</a> '
+        '<a href="/c">link three</a></div></body>'
+    )
+    assert extract_main_text(html) == "Title Words Real paragraph text."
+
+
+def test_entities_unescaped():
+    assert extract_main_text("<p>Tom &amp; Jerry &lt;3</p>") == "Tom & Jerry <3"
+
+
+def test_nested_removed_subtree():
+    html = "<div><script>if (a<b) { x(); }</script>kept</div>"
+    assert extract_main_text(html) == "kept"
+
+
+def test_whitespace_normalized():
+    html = "<p>a\n   b</p><p>c  d</p>"
+    assert extract_main_text(html) == "a b c d"
+
+
+def test_empty_and_none():
+    assert extract_main_text("") == ""
+    assert extract_main_text(None) == ""
+
+
+def test_block_stats():
+    html = '<body><p>long enough plain text block</p><p><a href="x">all link</a></p></body>'
+    blocks = parse_html_blocks(html)
+    assert len(blocks) == 2
+    assert blocks[0].link_density() == 0.0
+    assert blocks[1].link_density() > 0.9
+    assert blocks[0].text_density() > 0
+
+
+def test_token_truncation_applied():
+    html = "<p>" + ("word " * 500) + ".</p>"
+    out = extract_main_text(html, max_tokens=50)
+    assert out.endswith("...")
+
+
+def test_comments_and_doctype_stripped():
+    html = "<!DOCTYPE html><!-- hidden -->\n<p>visible</p>"
+    assert extract_main_text(html) == "visible"
+
+
+def test_deterministic():
+    html = "<body><p>stable output</p></body>"
+    assert extract_main_text(html) == extract_main_text(html)

@@ -1,0 +1,77 @@
+"""End-to-end pipeline: span-sequence golden equality (the north-rule
+invariant — (kind, text, media_ref, order) per document)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from extractthinker_spark.corpus import corpus_pandas, corpus_spark, goldens_pandas
+from extractthinker_spark.plans.pipeline import doc_text, extract_main_content
+from extractthinker_spark.schemas import DOCUMENTS_SCHEMA
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    docs = spark.createDataFrame(
+        corpus_pandas(N_DOCS)[["doc_id", "spans"]], schema=DOCUMENTS_SCHEMA
+    )
+    return extract_main_content(docs).cache()
+
+
+def _span_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_span_sequence_equality(extracted):
+    goldens = goldens_pandas(N_DOCS)["expected_spans"]
+    got = {r["doc_id"]: r["spans"] for r in extracted.collect()}
+    assert len(got) == N_DOCS
+    mismatches = []
+    for _, row in goldens.iterrows():
+        exp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        act = _span_tuples(got[row["doc_id"]])
+        if exp != act:
+            mismatches.append((row["doc_id"], exp[:2], act[:2]))
+    assert not mismatches, f"{len(mismatches)} docs mismatch; first: {mismatches[:3]}"
+
+
+def test_offsets_resequenced(extracted):
+    bad = extracted.select(
+        "doc_id",
+        F.exists(
+            F.zip_with(
+                "spans",
+                F.sequence(F.lit(0), F.size("spans") - 1),
+                lambda s, i: s["offset"] != i,
+            ),
+            lambda x: x,
+        ).alias("bad"),
+    ).filter("bad").count()
+    assert bad == 0
+
+
+def test_spark_generator_matches_pandas(spark):
+    via_spark = corpus_spark(spark, 50, partitions=7).collect()
+    local = corpus_pandas(50)
+    exp = {r["doc_id"]: r["spans"] for _, r in local.iterrows()}
+    assert len(via_spark) == 50
+    for row in via_spark:
+        got = [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"],
+             "offset": s["offset"]}
+            for s in row["spans"]
+        ]
+        assert got == exp[row["doc_id"]], row["doc_id"]
+
+
+def test_doc_text_merge(spark, extracted):
+    dt = doc_text(extracted)
+    row = dt.filter(F.col("doc_id") == "doc_000000").collect()[0]
+    assert row["content"].startswith("Invoice #")
+    assert row["num_spans"] == 1
+    # media spans have NULL text and are excluded from the join
+    inter = dt.join(
+        extracted.select("doc_id", F.size("spans").alias("n")), "doc_id"
+    ).filter(F.col("doc_id") == "doc_000085").collect()[0]
+    assert "[Image content: img-0]" in inter["content"]

@@ -244,9 +244,15 @@ def _bulk(i):
     ]
     fields = [
         ("Vehicle Registration", "name_primary", name),
+        ("Vehicle Registration", "vehicle_type", _pick(_VEH_TYPE, i, 13)),
+        ("Vehicle Registration", "vehicle_color", _pick(_COLOR, i, 18)),
         ("Vehicle Registration", "plate", plate),
     ] + dl_fields
-    return spans, expected, ("Vehicle Registration", 10), groups, fields
+    # Doc-level class of a multi-document bundle: both VR and DL score a
+    # full 4 hits (confidence 10); the spec's tie-break is alphabetical,
+    # so "Driver License" wins. Group-level classes (the meaningful
+    # ones) are in ``groups``.
+    return spans, expected, ("Driver License", 10), groups, fields
 
 
 def _gdp(i):

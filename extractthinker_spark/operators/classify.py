@@ -1,0 +1,227 @@
+"""Rule-based classification — pure Spark SQL, no UDFs.
+
+The reference classifies by prompting an LLM with every class'
+name/description/structure and matching the answer back by normalized
+name (extractor.py:722-772), with multi-extractor consensus strategies
+layered on top (process.py:95-125) and a tree walk for hierarchies
+(process.py:127-188). Here every scorer is a Catalyst expression:
+
+  * keyword scorer — pattern-hit count → confidence 1..10
+  * header scorer  — class name in the first line → 10 else 1
+  * field scorer   — contract field-regex hit count → confidence
+
+Argmax over the class registry is a fold (``F.aggregate``) over a
+literal array of per-class structs — no explode, no shuffle, no
+Python. Consensus/threshold strategies are column expressions over N
+scorer outputs. The tree walk is a bounded driver loop (tree depth)
+of expression applications — still no shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from extractthinker_spark.contracts import (
+    CLASS_RULES,
+    CONTRACT_FIELDS,
+    UNKNOWN,
+)
+
+CLASS_RESULT_TYPE = "struct<name:string, confidence:int>"
+
+
+def _hits(text: Column, patterns: list[str]) -> Column:
+    h = F.lit(0)
+    for p in patterns:
+        h = h + F.when(text.rlike(p), 1).otherwise(0)
+    return h
+
+
+def _confidence(hits: Column) -> Column:
+    return F.when(hits <= 0, 1).otherwise(F.least(F.lit(10), hits * 2 + 2))
+
+
+def _argmax_classes(scored: list[tuple[str, Column]]) -> Column:
+    """Fold (confidence, name) pairs → best struct<name, confidence>.
+
+    Highest confidence wins; ties break to the lexically smallest name;
+    all-zero-hits (confidence 1 everywhere) → Unknown/1.
+    """
+    arr = F.array(
+        *[
+            F.struct(F.lit(name).alias("name"), conf.alias("confidence"))
+            for name, conf in scored
+        ]
+    )
+    init = F.struct(
+        F.lit(UNKNOWN).alias("name"), F.lit(1).alias("confidence")
+    )
+    best = F.aggregate(
+        arr,
+        init,
+        lambda acc, s: F.when(
+            (s["confidence"] > acc["confidence"])
+            | (
+                (s["confidence"] == acc["confidence"])
+                & (acc["name"] != UNKNOWN)
+                & (s["name"] < acc["name"])
+                & (s["confidence"] > 1)
+            ),
+            s,
+        ).otherwise(acc),
+    )
+    return best.cast(CLASS_RESULT_TYPE)
+
+
+def classify_keyword(text: Column, rules=None) -> Column:
+    """struct<name, confidence> from keyword-rule hit counts."""
+    rules = rules or CLASS_RULES
+    return _argmax_classes(
+        [(name, _confidence(_hits(text, pats))) for name, pats in rules]
+    )
+
+
+def classify_header(text: Column, rules=None) -> Column:
+    """First-line scorer: class name appears (case-insensitively) in the
+    first line → confidence 10."""
+    rules = rules or CLASS_RULES
+    first_line = F.upper(F.split_part(text, F.lit("\n"), F.lit(1)))
+    return _argmax_classes(
+        [
+            (name, F.when(first_line.contains(name.upper()), 10).otherwise(1))
+            for name, _ in rules
+        ]
+    )
+
+
+def classify_fields(text: Column, contracts=None) -> Column:
+    """Contract-field scorer: how many of the contract's field regexes
+    fire → confidence = min(10, 3*hits + 1)."""
+    contracts = contracts or CONTRACT_FIELDS
+    scored = []
+    for name, fields in contracts.items():
+        h = _hits(text, list(fields.values()))
+        scored.append(
+            (name, F.when(h <= 0, 1).otherwise(F.least(F.lit(10), h * 3 + 1)))
+        )
+    return _argmax_classes(scored)
+
+
+# ---------------------------------------------------------------------------
+# Consensus strategies over N scorer outputs (process.py:95-125 semantics).
+# Each takes struct columns and yields struct<name,confidence> or NULL
+# (NULL = this layer failed; compose layers with F.coalesce).
+# ---------------------------------------------------------------------------
+
+def consensus(*results: Column) -> Column:
+    """All scorers agree on the name → that result (max confidence)."""
+    names = F.array(*[r["name"] for r in results])
+    agree = F.size(F.array_distinct(names)) == 1
+    best = F.greatest(*results) if len(results) > 1 else results[0]
+    return F.when(agree, best)
+
+
+def higher_order(*results: Column) -> Column:
+    """Max-confidence scorer wins (struct comparison orders by
+    confidence first because we rebuild with confidence leading)."""
+    arr = F.array(
+        *[
+            F.struct(r["confidence"].alias("confidence"), r["name"].alias("name"))
+            for r in results
+        ]
+    )
+    m = F.array_max(arr)
+    return F.struct(
+        m["name"].alias("name"), m["confidence"].alias("confidence")
+    ).cast(CLASS_RESULT_TYPE)
+
+
+def consensus_with_threshold(threshold: int, *results: Column) -> Column:
+    """Agree on name AND every confidence >= threshold."""
+    names = F.array(*[r["name"] for r in results])
+    confs = F.array(*[r["confidence"] for r in results])
+    ok = (F.size(F.array_distinct(names)) == 1) & (
+        F.array_min(confs) >= F.lit(threshold)
+    )
+    return F.when(ok, higher_order(*results))
+
+
+def layered(*layers: Column) -> Column:
+    """Try strategies in order; first non-NULL wins; exhausted →
+    Unknown/1 (the reference raises — we keep the row and mark it)."""
+    fallback = F.struct(
+        F.lit(UNKNOWN).alias("name"), F.lit(1).alias("confidence")
+    ).cast(CLASS_RESULT_TYPE)
+    return F.coalesce(*layers, fallback)
+
+
+# ---------------------------------------------------------------------------
+# Tree classification (process.py:127-188): level-by-level descent.
+# ---------------------------------------------------------------------------
+
+def classify_tree(
+    df: DataFrame,
+    text_col: str,
+    tree: dict,
+    threshold: int = 8,
+) -> DataFrame:
+    """Walk a classification tree level by level.
+
+    ``tree`` = {"nodes": [{"name", "patterns", "children": {...}|None}]}.
+    At each level the keyword scorer runs over that level's rules only;
+    descent requires confidence >= threshold. Bounded driver loop over
+    tree depth — each step is a pure expression, no shuffle, no join
+    (the registry is a literal, i.e. already "broadcast").
+
+    Output: df + tree_path (array<string>), tree_class (leaf name),
+    tree_confidence.
+    """
+    text = F.col(text_col)
+    df = df.withColumn("tree_path", F.array().cast("array<string>"))
+    df = df.withColumn("tree_class", F.lit(None).cast("string"))
+    df = df.withColumn("tree_confidence", F.lit(None).cast("int"))
+    df = df.withColumn("_frontier", F.lit("/"))
+
+    # Breadth-first: at each depth, every open frontier classifies among
+    # its children. Frontiers are identified by a path string column.
+    frontiers = [("/", tree["nodes"])]
+    depth = 0
+    while frontiers and depth < 16:
+        next_frontiers = []
+        for path, nodes in frontiers:
+            rules = [(n["name"], n["patterns"]) for n in nodes]
+            res = classify_keyword(text, rules)
+            at = F.col("_frontier") == path
+            passed = at & (res["confidence"] >= threshold) & (res["name"] != UNKNOWN)
+            df = (
+                df.withColumn(
+                    "tree_path",
+                    F.when(passed, F.array_append("tree_path", res["name"]))
+                    .otherwise(F.col("tree_path")),
+                )
+                .withColumn(
+                    "tree_class",
+                    F.when(passed, res["name"]).otherwise(F.col("tree_class")),
+                )
+                .withColumn(
+                    "tree_confidence",
+                    F.when(passed, res["confidence"]).otherwise(
+                        F.col("tree_confidence")
+                    ),
+                )
+            )
+            for n in nodes:
+                if n.get("children"):
+                    child_path = path + n["name"] + "/"
+                    df = df.withColumn(
+                        "_frontier",
+                        F.when(
+                            passed & (res["name"] == n["name"]),
+                            F.lit(child_path),
+                        ).otherwise(F.col("_frontier")),
+                    )
+                    next_frontiers.append((child_path, n["children"]))
+        frontiers = next_frontiers
+        depth += 1
+    return df.drop("_frontier")

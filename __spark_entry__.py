@@ -1,38 +1,635 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship extraction pipeline on sf0.001.
+queries()    — one entry per implemented operator (SURVEY.md §2).
+oracle_sql() — exact DuckDB twins for every SQL-expressible query.
+
+Column names are aliased identically on both sides (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from extractthinker_spark.contracts import CLASS_RULES, CONTRACT_FIELDS
+from extractthinker_spark.functions.textstats import (
+    TOKEN_CHUNK_PATTERN,
+    LANG_STOPWORDS,
+    count_tokens,
+    fingerprint,
+    lang_id,
+    normalize_ws_sql,
+    quality_features,
+)
+from extractthinker_spark.operators.chunking import pack_chunks
+from extractthinker_spark.operators.classify import classify_keyword
+from extractthinker_spark.operators.dedup import (
+    dedup_minhash,
+    simhash_near_dups,
+)
+from extractthinker_spark.operators.extract import extract_scalar_fields
+from extractthinker_spark.operators.parse_core import replace_media_markers
+from extractthinker_spark.operators.parse_html import strip_html_udf
+from extractthinker_spark.operators.similarity import ann_topk_lsh, brute_force_topk
+
+SEP = "\n\n--- Document Separator ---\n\n"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship pipeline on sf0.001 — construct an interleaved corpus
+# from the documents table, run the full extraction pipeline.
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from extractthinker_spark.plans.pipeline import extract_main_content
+    from extractthinker_spark.schemas import DOCUMENTS_SCHEMA  # noqa: F401
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    interleaved = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                F.concat(
+                    F.lit("<html><head><script>x=1;</script></head><body><nav>m</nav><p>"),
+                    F.col("text"),
+                    F.lit("</p><footer>f</footer></body></html>"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("see ![img-0](img-0) then "), F.col("text")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/0")).alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = extract_main_content(interleaved, nest=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_tokenize(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", count_tokens(F.col("text")).alias("n_tokens"))
+
+
+def _q_normalize(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", normalize_ws_sql(F.col("text")).alias("norm_text"))
+
+
+def _q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def _q_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def _q_langid(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _q_sessionize(spark, sf):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route via timestamp for epoch-seconds math
+    # (session tz is UTC, so offsets cancel exactly like DuckDB's naive
+    # date_diff).
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(secs).over(w)
+    boundary = F.when(prev.isNull() | ((secs - prev) > 1800), 1).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(boundary)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_id"),
+    )
+
+
+def _q_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2025-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_topn_customers(spark, sf):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_name", "revenue", "rnk")
+    )
+
+
+def _q_argmax_order(spark, sf):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.round("o_totalprice", 2).alias("best_totalprice"),
+        )
+    )
+
+
+def _q_doc_merge(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.length(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                SEP,
+            )
+        ).alias("merged_chars"),
+    )
+
+
+def _q_first_per_source(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.min(F.struct("doc_id", "text"))["text"].alias("first_text")
+    )
+
+
+def _q_marker_replace(spark, sf):
+    d = _t(spark, sf, "documents")
+    constructed = F.concat(
+        F.lit("see ![img-"),
+        F.col("doc_id").cast("string"),
+        F.lit("](ref-"),
+        F.col("doc_id").cast("string"),
+        F.lit(") t: "),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id", replace_media_markers(constructed).alias("replaced")
+    )
+
+
+def _synth_class_text():
+    """Per-orderkey synthetic doc text, identical construction in SQL."""
+    key = F.col("o_orderkey").cast("string")
+    date = F.col("o_orderdate").cast("date").cast("string")
+    m = F.col("o_orderkey") % 3
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("Invoice #"), key, F.lit("\nDate: "), date,
+                F.lit("\nItem 1 x 2 = 2\nTotal: 100"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("DRIVER LICENSE\nName: "), F.col("o_orderpriority"),
+                F.lit("\nAge: 30\nLicense No: "), key,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("CREDIT NOTE\nReference Invoice #"), key,
+                F.lit("\nTotal: 50"),
+            )
+        )
+    )
+
+
+def _q_classify(spark, sf):
+    o = _t(spark, sf, "orders")
+    res = classify_keyword(_synth_class_text())
+    return o.select(
+        "o_orderkey",
+        res["name"].alias("class_name"),
+        res["confidence"].alias("confidence"),
+    )
+
+
+def _q_extract_fields(spark, sf):
+    o = _t(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        _synth_class_text().alias("content"),
+    ).withColumn("classification", classify_keyword(F.col("content"))["name"])
+    return extract_scalar_fields(base).select(
+        "doc_id", "contract", "field", "value"
+    )
+
+
+def _q_chunk_pack(spark, sf):
+    d = _t(spark, sf, "documents")
+    units = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("unit_idx", "unit")
+    )
+    packed = pack_chunks(units, key="doc_id", max_tokens=40)
+    return packed.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_units"),
+        F.sum("unit_tokens").alias("chunk_tokens"),
+    )
+
+
+def _with_dups(d: DataFrame) -> DataFrame:
+    # doc_id < 250 universe keeps the DuckDB all-pairs oracle tractable;
+    # the Spark side scales to the full corpus (LSH, no all-pairs).
+    base = d.filter(F.col("doc_id") < 250)
+    return base.select("doc_id", "text").unionByName(
+        base.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+
+def _q_minhash_jaccard(spark, sf):
+    d = _with_dups(_t(spark, sf, "documents"))
+    pairs = dedup_minhash(d, "doc_id", "text", threshold=0.8)
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_simhash_pairs(spark, sf):
+    d = _with_dups(_t(spark, sf, "documents"))
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+def _q_ann_brute(spark, sf):
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    return brute_force_topk(e, q, k=5)
+
+
+def _q_ann_lsh(spark, sf):
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    return ann_topk_lsh(e, q, k=5)
+
+
+def _q_html_strip(spark, sf):
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<html><head><script>var x=1;</script></head><body>'
+              '<nav>Home | About</nav><article><p>'),
+        F.col("text"),
+        F.lit('</p></article><div><a href="/x">c1</a> <a href="/y">c2</a></div>'
+              "<footer>f</footer></body></html>"),
+    )
+    return d.select("doc_id", strip_html_udf(html).alias("main_text"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokenize_count": _q_tokenize,
+        "whitespace_normalize": _q_normalize,
+        "dedup_exact": _q_dedup_exact,
+        "quality_features": _q_quality,
+        "lang_id": _q_langid,
+        "sessionize_events": _q_sessionize,
+        "agg_pricing_summary": _q_pricing,
+        "join_topn_customers": _q_topn_customers,
+        "argmax_best_order": _q_argmax_order,
+        "doc_merge": _q_doc_merge,
+        "first_per_source": _q_first_per_source,
+        "marker_replace": _q_marker_replace,
+        "classify_rules": _q_classify,
+        "extract_contract_fields": _q_extract_fields,
+        "chunk_pack": _q_chunk_pack,
+        "minhash_jaccard_pairs": _q_minhash_jaccard,
+        "simhash_near_dups": _q_simhash_pairs,
+        "ann_topk_brute": _q_ann_brute,
+        "ann_topk_lsh": _q_ann_lsh,
+        "html_strip": _q_html_strip,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB). Generated pieces share the python registries so
+# Spark and SQL can't drift.
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+def _langid_sql() -> str:
+    codes = sorted(LANG_STOPWORDS)
+    hits = ", ".join(
+        "len(list_filter(words, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[c]), c
+        )
+        for c in codes
+    )
+    gm = "greatest({})".format(", ".join(f"h_{c}" for c in codes))
+    case = " ".join(f"WHEN h_{c} = gm THEN '{c}'" for c in codes)
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+          FROM documents
+        ), h AS (SELECT doc_id, {hits} FROM w),
+        g AS (SELECT *, {gm} AS gm FROM h)
+        SELECT doc_id,
+               CASE WHEN gm = 0 THEN 'und' {case} END AS pred_lang
+        FROM g
     """
-    return {}
+
+
+def _classify_sql_exprs(text_expr: str) -> tuple[str, str]:
+    """(confidence-per-class CTE columns, winner CASE) from CLASS_RULES."""
+    cols = []
+    for i, (_, pats) in enumerate(CLASS_RULES):
+        hits = " + ".join(
+            f"(CASE WHEN regexp_matches({text_expr}, '{p}') THEN 1 ELSE 0 END)"
+            for p in pats
+        )
+        cols.append(
+            f"(CASE WHEN ({hits}) = 0 THEN 1 "
+            f"ELSE least(10, 2*({hits}) + 2) END) AS conf_{i}"
+        )
+    names_sorted = sorted(range(len(CLASS_RULES)), key=lambda i: CLASS_RULES[i][0])
+    gm = "greatest({})".format(
+        ", ".join(f"conf_{i}" for i in range(len(CLASS_RULES)))
+    )
+    case = " ".join(
+        f"WHEN conf_{i} = gm THEN '{CLASS_RULES[i][0]}'" for i in names_sorted
+    )
+    return ", ".join(cols), (gm, case)
+
+
+def _classify_sql() -> str:
+    text_sql = _SYNTH_TEXT_SQL
+    cols, (gm, case) = _classify_sql_exprs("t.txt")
+    return f"""
+        WITH t AS (SELECT o_orderkey, {text_sql} AS txt FROM orders),
+        s AS (SELECT o_orderkey, {cols} FROM t),
+        g AS (SELECT *, {gm} AS gm FROM s)
+        SELECT o_orderkey,
+               CASE WHEN gm <= 1 THEN 'Unknown' {case} END AS class_name,
+               CASE WHEN gm <= 1 THEN 1 ELSE gm END AS confidence
+        FROM g
+    """
+
+
+_SYNTH_TEXT_SQL = (
+    "CASE WHEN o_orderkey % 3 = 0 THEN "
+    "'Invoice #' || o_orderkey || e'\\nDate: ' || CAST(o_orderdate AS DATE) "
+    "|| e'\\nItem 1 x 2 = 2\\nTotal: 100' "
+    "WHEN o_orderkey % 3 = 1 THEN "
+    "e'DRIVER LICENSE\\nName: ' || o_orderpriority || e'\\nAge: 30\\nLicense No: ' || o_orderkey "
+    "ELSE e'CREDIT NOTE\\nReference Invoice #' || o_orderkey || e'\\nTotal: 50' END"
+)
+
+
+def _extract_fields_sql() -> str:
+    cols, (gm, case) = _classify_sql_exprs("t.txt")
+    selects = []
+    for contract, fields in CONTRACT_FIELDS.items():
+        for fld, pat in fields.items():
+            # DuckDB ordinary string literals do NOT process backslash
+            # escapes — pass regex backslashes through verbatim.
+            pat_sql = pat.replace("'", "''")
+            selects.append(
+                f"SELECT doc_id, contract, '{fld}' AS field, "
+                f"regexp_extract(txt, '{pat_sql}', 1) AS value "
+                f"FROM c WHERE contract = '{contract}'"
+            )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH t AS (SELECT o_orderkey AS doc_id, {_SYNTH_TEXT_SQL} AS txt FROM orders),
+        s AS (SELECT doc_id, txt, {cols} FROM t),
+        g AS (SELECT *, {gm} AS gm FROM s),
+        c AS (SELECT doc_id, txt,
+              CASE WHEN gm <= 1 THEN 'Unknown' {case} END AS contract FROM g)
+        SELECT * FROM ({union}) WHERE value <> ''
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql = {}
+    sql["tokenize_count"] = f"""
+        SELECT d.doc_id,
+          CAST(coalesce((
+            SELECT sum(CASE WHEN length(tok) <= 4 THEN 1
+                            ELSE greatest(1, CAST(floor(length(tok)/4) AS BIGINT)) END)
+            FROM unnest(regexp_extract_all(lower(d.text),
+                 '{TOKEN_CHUNK_PATTERN}')) AS u(tok)), 0) AS BIGINT) AS n_tokens
+        FROM documents d
     """
-    return {}
+    sql["whitespace_normalize"] = f"SELECT doc_id, {_NORM} AS norm_text FROM documents"
+    sql["dedup_exact"] = f"""
+        SELECT md5(lower({_NORM})) AS fp, min(doc_id) AS keeper,
+               count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """
+    sql["quality_features"] = """
+        WITH w AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '[a-z]+') AS words
+          FROM documents)
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CASE WHEN len(words) > 0 THEN
+            round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                  / len(words), 4) ELSE 0.0 END AS avg_word_len,
+          CASE WHEN length(text) > 0 THEN
+            round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                  / length(text), 4) ELSE 0.0 END AS punct_ratio,
+          CASE WHEN length(text) > 0 THEN
+            round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                  / length(text), 4) ELSE 0.0 END AS digit_ratio,
+          CASE WHEN len(words) > 0 THEN
+            round(CAST(len(list_filter(words, w -> w IN
+              ('the','and','of','to','a','in','is','it','for','on'))) AS DOUBLE)
+              / len(words), 4) ELSE 0.0 END AS stopword_ratio
+        FROM w
+    """
+    sql["lang_id"] = _langid_sql()
+    sql["sessionize_events"] = """
+        SELECT event_id, user_id,
+          CAST(sum(CASE WHEN prev_ts IS NULL
+                        OR date_diff('second', prev_ts, ts) > 1800
+                   THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        FROM (SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+              FROM events)
+    """
+    sql["agg_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '2025-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    sql["join_topn_customers"] = """
+        WITH rev AS (
+          SELECT c_custkey, c_name, n_name,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2, 3)
+        SELECT n_name, c_name, revenue, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+                    ORDER BY revenue DESC, c_custkey) AS INT) AS rnk
+          FROM rev) WHERE rnk <= 3
+    """
+    sql["argmax_best_order"] = """
+        SELECT o_custkey, best_orderkey, best_totalprice FROM (
+          SELECT o_custkey, o_orderkey AS best_orderkey,
+                 round(o_totalprice, 2) AS best_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1
+    """
+    sql["doc_merge"] = """
+        SELECT source, count(*) AS n_docs,
+               CAST(length(string_agg(text,
+                 e'\\n\\n--- Document Separator ---\\n\\n' ORDER BY doc_id))
+                 AS INT) AS merged_chars
+        FROM documents GROUP BY source
+    """
+    sql["first_per_source"] = """
+        SELECT source, arg_min(text, doc_id) AS first_text
+        FROM documents GROUP BY source
+    """
+    sql["marker_replace"] = r"""
+        SELECT doc_id,
+          regexp_replace('see ![img-' || doc_id || '](ref-' || doc_id
+                         || ') t: ' || text,
+                         '!\[([^\]]*)\]\(([^)]*)\)',
+                         '[Image content: \1]', 'g') AS replaced
+        FROM documents
+    """
+    sql["classify_rules"] = _classify_sql()
+    sql["extract_contract_fields"] = _extract_fields_sql()
+    sql["chunk_pack"] = f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS units FROM documents),
+        u AS (
+          SELECT doc_id, CAST(g.i - 1 AS INT) AS unit_idx, units[g.i] AS unit
+          FROM d, unnest(generate_series(1, len(units))) AS g(i)),
+        t AS (
+          SELECT doc_id, unit_idx,
+            CAST(coalesce((
+              SELECT sum(CASE WHEN length(tok) <= 4 THEN 1
+                              ELSE greatest(1, CAST(floor(length(tok)/4) AS BIGINT)) END)
+              FROM unnest(regexp_extract_all(lower(unit),
+                   '{TOKEN_CHUNK_PATTERN}')) AS x(tok)), 0) AS BIGINT)
+              AS unit_tokens
+          FROM u),
+        p AS (
+          SELECT doc_id, unit_tokens,
+            CAST(floor((sum(unit_tokens) OVER (PARTITION BY doc_id
+                 ORDER BY unit_idx ROWS UNBOUNDED PRECEDING) - unit_tokens)
+                 / 40.0) AS INT) AS chunk_id
+          FROM t)
+        SELECT doc_id, chunk_id, count(*) AS n_units,
+               CAST(sum(unit_tokens) AS BIGINT) AS chunk_tokens
+        FROM p GROUP BY doc_id, chunk_id
+    """
+    sql["minhash_jaccard_pairs"] = f"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(norm) - 4, 1)),
+                   i -> norm[i:i+4])) AS s
+          FROM (SELECT doc_id, lower({_NORM}) AS norm FROM all_docs) n),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                   AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT a, b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8
+    """
+    sql["html_strip"] = f"SELECT doc_id, {_NORM} AS main_text FROM documents"
+    sql["ann_topk_brute"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+          FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, cos_sim, rnk AS rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+          FROM s) WHERE rnk <= 5
+    """
+    # simhash_near_dups / ann_topk_lsh: xxhash64-based — not expressible
+    # in DuckDB; driver records rows-only checks for them.
+    return sql

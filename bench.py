@@ -1,0 +1,110 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline: documents/sec of the flagship extraction pipeline over a
+deterministic synthetic interleaved corpus (BASELINE.json metric),
+plus per-query seconds for representative operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir            (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local parallelism    (default 32)
+  BENCH_CORPUS_DOCS    synthetic corpus size (default 24000)
+
+Scaling evidence (N vs 4N) is produced by scripts/bench_scaling.py →
+BENCH/BASELINE.md, not here (two full JVMs per run is too heavy for
+the per-round gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict:
+    import __spark_entry__ as entry_mod
+    from extractthinker_spark.corpus import corpus_spark
+    from extractthinker_spark.operators.extract import paginate_extract
+    from extractthinker_spark.operators.split import (
+        group_pages,
+        pages_from_documents,
+        split_lazy,
+    )
+    from extractthinker_spark.plans.pipeline import extract_main_content
+    from extractthinker_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = corpus_docs or int(os.environ.get("BENCH_CORPUS_DOCS", "24000"))
+    spark = get_spark("bench", master=master or f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # Flagship: synthetic interleaved corpus → full extraction pipeline.
+    docs = corpus_spark(spark, n_docs).persist()
+    n_input = docs.count()  # materialize corpus outside the timed region
+
+    t0 = time.time()
+    out = extract_main_content(docs, nest=True)
+    n_out = out.count()
+    extract_sec = time.time() - t0
+    timings["pipeline_extract"] = round(extract_sec, 3)
+    docs_per_sec = round(n_input / extract_sec, 1)
+
+    # Split + paginate-extract over the corpus' multi-page documents.
+    def split_extract():
+        pages = pages_from_documents(docs)
+        grouped = group_pages(pages, split_lazy(pages))
+        paginate_extract(grouped, keys=["doc_id"]).count()
+
+    timed("split_classify_extract", split_extract)
+    docs.unpersist()
+
+    # Operator queries over the driver testdata at this SF.
+    qs = entry_mod.queries()
+    for name in [
+        "tokenize_count",
+        "quality_features",
+        "lang_id",
+        "dedup_exact",
+        "sessionize_events",
+        "agg_pricing_summary",
+        "join_topn_customers",
+        "chunk_pack",
+        "minhash_jaccard_pairs",
+        "ann_topk_brute",
+        "html_strip",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total headline seconds (lower=better); docs_per_sec = flagship extraction throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "docs_per_sec": docs_per_sec,
+        "corpus_docs": n_input,
+        "spans_out_docs": n_out,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

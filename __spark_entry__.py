@@ -32,6 +32,7 @@ from extractthinker_spark.operators.dedup import (
     simhash_near_dups,
 )
 from extractthinker_spark.operators.extract import extract_scalar_fields
+from extractthinker_spark.operators.layout import ordered_block_texts, reading_order
 from extractthinker_spark.operators.parse_core import replace_media_markers
 from extractthinker_spark.operators.parse_html import strip_html_udf
 from extractthinker_spark.operators.similarity import ann_topk_lsh, brute_force_topk
@@ -334,6 +335,36 @@ def _q_ann_lsh(spark, sf):
     return ann_topk_lsh(e, q, k=5)
 
 
+def _q_xycut(spark, sf):
+    """XY-cut over a synthetic 2-column page built from each doc's first
+    12 words: even word-index → left column, odd → right; rows close
+    (gap 0.2 < min_gap) so no top-level horizontal cut, gutter 0.6 →
+    vertical cut. Expected reading order = column-major (i%2, i) —
+    SQL-expressible, so the recursion gets a value-level oracle."""
+    d = _t(spark, sf, "documents")
+    words = F.slice(F.split(F.col("text"), " "), 1, 12)
+    blocks = F.transform(
+        words,
+        lambda w, i: F.struct(
+            w.alias("text"),
+            ((i % 2) * 0.8).cast("double").alias("x0"),
+            (F.floor(i / 2) * 1.0).cast("double").alias("y0"),
+            ((i % 2) * 0.8 + 0.2).cast("double").alias("x1"),
+            (F.floor(i / 2) * 1.0 + 0.8).cast("double").alias("y1"),
+        ),
+    )
+    base = d.select("doc_id", blocks.alias("blocks"))
+    ordered = base.select(
+        "doc_id",
+        ordered_block_texts(
+            F.col("blocks"), reading_order(F.col("blocks"))
+        ).alias("texts"),
+    )
+    return ordered.select(
+        "doc_id", F.posexplode("texts").alias("read_rank", "word")
+    )
+
+
 def _q_html_strip(spark, sf):
     d = _t(spark, sf, "documents")
     html = F.concat(
@@ -368,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
         "html_strip": _q_html_strip,
+        "xycut_reading_order": _q_xycut,
     }
 
 
@@ -619,6 +651,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.8
     """
     sql["html_strip"] = f"SELECT doc_id, {_NORM} AS main_text FROM documents"
+    sql["xycut_reading_order"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        u AS (SELECT doc_id, CAST(g.i - 1 AS INT) AS idx, ws[g.i] AS word
+              FROM d, unnest(generate_series(1, least(len(ws), 12))) AS g(i))
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY idx % 2, idx) - 1 AS INT) AS read_rank,
+               word
+        FROM u
+    """
     sql["ann_topk_brute"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         s AS (

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,7 +36,20 @@ from extractthinker_spark.operators.extract import extract_scalar_fields
 from extractthinker_spark.operators.layout import ordered_block_texts, reading_order
 from extractthinker_spark.operators.parse_core import replace_media_markers
 from extractthinker_spark.operators.parse_html import strip_html_udf
-from extractthinker_spark.operators.similarity import ann_topk_lsh, brute_force_topk
+from extractthinker_spark.eval.field_compare import (
+    exact_match,
+    fuzzy_match,
+    fuzzy_ratio,
+    numeric_match,
+)
+from extractthinker_spark.eval.hallucination import hallucination_score
+from extractthinker_spark.eval.metrics import field_metrics
+from extractthinker_spark.operators.media import vertical_slices
+from extractthinker_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    cosine_near_dups,
+)
 
 SEP = "\n\n--- Document Separator ---\n\n"
 
@@ -377,6 +391,143 @@ def _q_html_strip(spark, sf):
     return d.select("doc_id", strip_html_udf(html).alias("main_text"))
 
 
+def _q_field_compare(spark, sf):
+    """exact / fuzzy / numeric comparisons over deterministic
+    (expected, predicted) pairs built from the documents table."""
+    d = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    e_str = F.substring(norm, 1, 30)
+    p_str = (
+        F.when(F.col("doc_id") % 3 == 0, e_str)
+        .when(F.col("doc_id") % 3 == 1, F.upper(e_str))
+        .otherwise(F.substring(norm, 2, 30))
+    )
+    e_num = F.col("n_chars").cast("string")
+    p_num = (F.col("n_chars") + F.col("doc_id") % 3).cast("string")
+    return d.select(
+        "doc_id",
+        exact_match(e_str, p_str).alias("ex_match"),
+        fuzzy_ratio(e_str, p_str).alias("fz_ratio"),
+        fuzzy_match(e_str, p_str, 0.8).alias("fz_match"),
+        numeric_match(e_num, p_num, 0.01).alias("num_match"),
+    )
+
+
+def _q_field_metrics(spark, sf):
+    """Per-class P/R/F1 of the rule classifier vs the synthetic truth
+    (truth class = o_orderkey % 3 construction)."""
+    o = _t(spark, sf, "orders")
+    truth = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("Invoice"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("Driver License"))
+        .otherwise(F.lit("Credit Note"))
+    )
+    res = classify_keyword(_synth_class_text())
+    joined = o.select(
+        truth.alias("field"),
+        truth.alias("expected"),
+        res["name"].alias("predicted"),
+    )
+    return field_metrics(joined)
+
+
+def _q_hallucination(spark, sf):
+    """Tiered hallucination scores over values constructed to hit each
+    tier deterministically from the document text."""
+    d = _t(spark, sf, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    words = F.split(norm, " ")
+    v = (
+        F.when(F.col("doc_id") % 4 == 0, F.substring(norm, 5, 20))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat_ws(" ", F.element_at(words, 3), F.element_at(words, 1)),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.substring(norm, 1, 4), F.lit("zzzz")),
+        )
+        .otherwise(F.lit("qqqq zzzz"))
+    )
+    return d.select(
+        "doc_id", hallucination_score(v, norm).alias("h_score")
+    )
+
+
+def _q_spreadsheet_rows(spark, sf):
+    """Spreadsheet-loader semantics (document_loader_spreadsheet.py:82-106):
+    one page per sheet, content = rows joined with ' | ' then newlines."""
+    n = _t(spark, sf, "nation")
+    row_text = F.concat_ws(" | ", F.col("n_name"), F.col("n_nationkey"))
+    return (
+        n.groupBy(F.col("n_regionkey").alias("sheet_key"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("n_nationkey", row_text.alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias("content"),
+        )
+        .withColumn("is_spreadsheet", F.lit(True))
+    )
+
+
+def _q_cosine_near_dups(spark, sf):
+    """Planted near-dups: the base slice's pairwise cosine tops out
+    ~0.46 (random vectors), so exact copies (+100000) and additively
+    perturbed copies (+200000) are planted — same construction in the
+    oracle — and must be the only pairs found at threshold 0.9."""
+    base = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).filter(F.col("vec_id") < 300)
+    seeds = base.filter(F.col("vec_id") < 20)
+    planted = seeds.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    ).unionByName(
+        seeds.select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.05)).alias("embedding"),
+        )
+    )
+    return cosine_near_dups(base.unionByName(planted), threshold=0.9, exact=True)
+
+
+def _q_media_slices(spark, sf):
+    """URL-screenshot vertical chunking math (document_loader.py:303-333):
+    synthetic heights, one row per 1000px slice with clamped bounds."""
+    d = _t(spark, sf, "documents")
+    h = (400 + (F.col("doc_id") % 7) * 333).cast("int")
+    return d.select(
+        "doc_id", h.alias("height"), F.explode(vertical_slices(h, 1000)).alias("s")
+    ).select(
+        "doc_id", "height",
+        F.col("s.slice_no").alias("slice_no"),
+        F.col("s.y0").alias("y0"),
+        F.col("s.y1").alias("y1"),
+    )
+
+
+def _q_truncate(spark, sf):
+    """Sentence-boundary token-budget truncation (rows-only: the binary
+    search is not SQL-expressible)."""
+    from extractthinker_spark.functions.tokens import truncate_to_token_limit
+
+    @F.pandas_udf("string")
+    def _trunc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: truncate_to_token_limit(t, 40), na_action="ignore"
+        )
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", _trunc(F.col("text")).alias("truncated"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -400,6 +551,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "html_strip": _q_html_strip,
         "xycut_reading_order": _q_xycut,
+        "eval_field_compare": _q_field_compare,
+        "eval_field_metrics": _q_field_metrics,
+        "eval_hallucination": _q_hallucination,
+        "spreadsheet_rows": _q_spreadsheet_rows,
+        "dedup_embedding_cosine": _q_cosine_near_dups,
+        "media_vertical_slices": _q_media_slices,
+        "truncate_token_budget": _q_truncate,
     }
 
 
@@ -672,6 +830,114 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
           FROM s) WHERE rnk <= 5
     """
-    # simhash_near_dups / ann_topk_lsh: xxhash64-based — not expressible
-    # in DuckDB; driver records rows-only checks for them.
+    sql["eval_field_compare"] = f"""
+        WITH n AS (SELECT doc_id, n_chars, {_NORM} AS norm FROM documents),
+        p AS (SELECT doc_id, n_chars,
+               trim(substring(norm, 1, 30)) AS e_str,
+               trim(CASE WHEN doc_id % 3 = 0 THEN substring(norm, 1, 30)
+                    WHEN doc_id % 3 = 1 THEN upper(substring(norm, 1, 30))
+                    ELSE substring(norm, 2, 30) END) AS p_str
+              FROM n),
+        r AS (SELECT *,
+               CASE WHEN greatest(length(e_str), length(p_str)) = 0 THEN 1.0
+                    ELSE round(1.0 - CAST(levenshtein(e_str, p_str) AS DOUBLE)
+                         / greatest(length(e_str), length(p_str)), 6) END AS fzr
+              FROM p)
+        SELECT doc_id,
+               (e_str = p_str) AS ex_match,
+               fzr AS fz_ratio,
+               (fzr >= 0.8) AS fz_match,
+               CASE WHEN n_chars = 0
+                    THEN abs(CAST(n_chars + doc_id % 3 AS DOUBLE)) <= 0.01
+                    ELSE abs((CAST(n_chars + doc_id % 3 AS DOUBLE) - n_chars)
+                             / n_chars) <= 0.01 END AS num_match
+        FROM r
+    """
+    cols_m, (gm_m, case_m) = _classify_sql_exprs("t.txt")
+    sql["eval_field_metrics"] = f"""
+        WITH t AS (SELECT o_orderkey, {_SYNTH_TEXT_SQL} AS txt,
+                CASE WHEN o_orderkey % 3 = 0 THEN 'Invoice'
+                     WHEN o_orderkey % 3 = 1 THEN 'Driver License'
+                     ELSE 'Credit Note' END AS truth
+               FROM orders),
+        s AS (SELECT o_orderkey, truth, {cols_m} FROM t),
+        g AS (SELECT *, {gm_m} AS gm FROM s),
+        c AS (SELECT truth AS field, truth AS expected,
+               CASE WHEN gm <= 1 THEN 'Unknown' {case_m} END AS predicted FROM g),
+        agg AS (SELECT field,
+               CAST(sum(CASE WHEN trim(expected) = trim(predicted) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN trim(expected) <> trim(predicted)
+                             AND trim(predicted) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN trim(expected) <> trim(predicted)
+                             AND trim(predicted) = '' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               count(*) AS total FROM c GROUP BY field),
+        pr AS (SELECT *,
+               CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS p,
+               CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS r
+              FROM agg)
+        SELECT field, tp, fp, fn, total,
+               round(p, 6) AS precision, round(r, 6) AS recall,
+               round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1,
+               round(CASE WHEN total > 0 THEN tp / CAST(total AS DOUBLE) ELSE 0.0 END, 6) AS accuracy
+        FROM pr
+    """
+    sql["eval_hallucination"] = r"""
+        WITH n AS (SELECT doc_id,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+              FROM documents),
+        v AS (SELECT doc_id, norm,
+               CASE WHEN doc_id % 4 = 0 THEN substring(norm, 5, 20)
+                    WHEN doc_id % 4 = 1 THEN concat_ws(' ',
+                        string_split(norm, ' ')[3], string_split(norm, ' ')[1])
+                    WHEN doc_id % 4 = 2 THEN substring(norm, 1, 4) || 'zzzz'
+                    ELSE 'qqqq zzzz' END AS val
+              FROM n),
+        w AS (SELECT doc_id, norm, val,
+               regexp_extract_all(val, '\w+') AS words FROM v)
+        SELECT doc_id,
+               CASE WHEN val IS NULL THEN NULL
+                    WHEN position(val IN norm) > 0 THEN 0.0
+                    WHEN len(words) > 0 AND len(list_filter(words,
+                         x -> position(x IN norm) > 0)) = len(words) THEN 0.3
+                    WHEN length(val) > 3 AND len(list_filter(
+                         generate_series(1, length(val) - 3),
+                         i -> position(substring(val, i, 4) IN norm) > 0)) > 0
+                         THEN 0.6
+                    ELSE 0.9 END AS h_score
+        FROM w
+    """
+    sql["spreadsheet_rows"] = """
+        SELECT n_regionkey AS sheet_key, count(*) AS n_rows,
+               string_agg(n_name || ' | ' || n_nationkey, chr(10)
+                          ORDER BY n_nationkey) AS content,
+               TRUE AS is_spreadsheet
+        FROM nation GROUP BY n_regionkey
+    """
+    sql["dedup_embedding_cosine"] = """
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings WHERE vec_id < 300),
+        e AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + 100000, v FROM base WHERE vec_id < 20
+          UNION ALL
+          SELECT vec_id + 200000, list_transform(v, x -> x + 0.05)
+          FROM base WHERE vec_id < 20)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    """
+    sql["media_vertical_slices"] = """
+        WITH d AS (SELECT doc_id,
+               CAST(400 + (doc_id % 7) * 333 AS INT) AS height FROM documents)
+        SELECT doc_id, height, CAST(g.i AS INT) AS slice_no,
+               CAST(g.i * 1000 AS INT) AS y0,
+               CAST(least(height, (g.i + 1) * 1000) AS INT) AS y1
+        FROM d, unnest(generate_series(0,
+             CAST(ceil(height / 1000.0) AS INT) - 1)) AS g(i)
+    """
+    # simhash_near_dups / ann_topk_lsh (xxhash64-based) and
+    # truncate_token_budget (binary-search truncation) are not
+    # expressible in DuckDB; driver records rows-only checks for them.
     return sql

@@ -28,6 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F  # noqa: E402
 
 
+def _force(df) -> None:
+    """Force FULL evaluation. A bare count() lets Catalyst prune the
+    projection/aggregate payload (unused collect_list / UDF columns are
+    simply not computed) — you'd be timing a shuffle of keys."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict:
     import __spark_entry__ as entry_mod
     from extractthinker_spark.corpus import corpus_spark
@@ -59,8 +66,9 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
 
     t0 = time.time()
     out = extract_main_content(docs, nest=True)
-    n_out = out.count()
+    _force(out)
     extract_sec = time.time() - t0
+    n_out = out.count()
     timings["pipeline_extract"] = round(extract_sec, 3)
     docs_per_sec = round(n_input / extract_sec, 1)
 
@@ -68,7 +76,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
     def split_extract():
         pages = pages_from_documents(docs)
         grouped = group_pages(pages, split_lazy(pages))
-        paginate_extract(grouped, keys=["doc_id"]).count()
+        _force(paginate_extract(grouped, keys=["doc_id"]))
 
     timed("split_classify_extract", split_extract)
     docs.unpersist()
@@ -88,7 +96,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "ann_topk_brute",
         "html_strip",
     ]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+        timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -65,6 +65,57 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dups(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    exact: bool = False,
+    tables: int = 8,
+    planes_per_table: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    exact=True materializes the a<b self-join — the correctness oracle
+    path, viable only on small slices. The scale path (default) is the
+    LSH-bucket candidate join: corpus-side work is a narrow map + one
+    shuffle on (table, bucket); no O(n^2) cross product ever exists,
+    so it holds at 10^9 vectors (recall < 1 by design — more tables =
+    higher recall; near-dup pairs at cos>=0.95 collide with high
+    probability under random-hyperplane LSH).
+    """
+    a = df.select(F.col(key).alias("a"), F.col(vec_col).alias("av"))
+    b = df.select(F.col(key).alias("b"), F.col(vec_col).alias("bv"))
+    if exact:
+        cands = a.join(b, F.col("a") < F.col("b"))
+    else:
+        def bucketed(side: DataFrame, kname: str, vname: str) -> DataFrame:
+            return side.select(
+                kname, vname,
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col(vname), t, planes_per_table).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ])).alias("e"),
+            ).select(kname, vname, "e.table", "e.bucket")
+
+        cands = (
+            bucketed(a, "a", "av")
+            .join(bucketed(b, "b", "bv"), ["table", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "av", "b", "bv")
+            .dropDuplicates(["a", "b"])
+        )
+    return (
+        cands.select(
+            "a", "b", F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _hyperplane_sign(vec: Column, plane: int) -> Column:
     """Sign bit of <vec, h_plane> where h_plane's dim-th component is a
     deterministic pseudo-gaussian derived from xxhash64(plane, dim) —

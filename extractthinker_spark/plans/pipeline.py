@@ -41,8 +41,16 @@ def extract_spans_flat(documents: DataFrame) -> DataFrame:
         F.when(F.col("kind") == "html", F.lit("text"))
         .otherwise(F.col("kind"))
     )
+    # A pandas UDF inside a CASE WHEN is hoisted into an ArrowEvalPython
+    # node that evaluates on EVERY row, so non-html spans (the majority,
+    # including mega pdf texts) would round-trip through Arrow and
+    # Python for nothing. Masking the input to NULL for non-html rows
+    # keeps the single-pass plan while the Python side skips NULLs
+    # (na_action='ignore') — measured 2x end-to-end on a corpus with
+    # 25% html spans.
+    html_in = F.when(F.col("kind") == "html", F.col("text"))
     out_text = (
-        F.when(F.col("kind") == "html", strip_html_udf(F.col("text")))
+        F.when(F.col("kind") == "html", strip_html_udf(html_in))
         .when(F.col("kind") == "pdf_text", strip_page_header(F.col("text")))
         .when(F.col("kind") == "text", replace_media_markers(F.col("text")))
         .otherwise(F.col("text"))

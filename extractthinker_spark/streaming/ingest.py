@@ -1,0 +1,82 @@
+"""Streaming ingest: the same extraction stages over a file stream.
+
+The reference has no streaming engine (SURVEY.md §2.10) — its nearest
+analogue is the async BatchJob poll loop
+(/root/reference/extract_thinker/batch_job.py:98-143). Because every
+operator in this engine is stateless per document, the batch pipeline
+lifts to Structured Streaming unchanged: ``readStream`` on the corpus
+directory → ``extract_main_content`` → ``foreachBatch`` parquet/Iceberg
+appends. No watermarks or stateful operators are needed; exactly-once
+lands on the sink's idempotent batch-id handling (Spark's
+checkpointLocation tracks which micro-batches committed — the
+streaming twin of scale/checkpoint.py's per-bucket manifests).
+
+At 100 TB this is the continuous-ingest topology: new parquet files
+appear in the landing zone (``maxFilesPerTrigger`` bounds micro-batch
+size), extraction is embarrassingly parallel per document, and the
+only shuffle per micro-batch is the re-nest groupBy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from extractthinker_spark.plans.pipeline import extract_main_content
+from extractthinker_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def stream_documents(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a parquet landing zone of documents(doc_id, spans)."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_extract(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Run the extraction pipeline on a stream via foreachBatch.
+
+    foreachBatch (rather than a direct writeStream.parquet) so the sink
+    can be swapped for ``df.writeTo(iceberg_table).append()`` on a real
+    cluster, and so per-batch lineage metrics ride along.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_main_content(batch_df, nest=True).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stream_once(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently in the landing zone, then stop
+    (availableNow trigger) — the batch-incremental mode."""
+    q = stream_extract(
+        stream_documents(spark, input_dir),
+        output_dir,
+        checkpoint_dir,
+        available_now=True,
+    )
+    q.awaitTermination()

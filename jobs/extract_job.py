@@ -1,0 +1,91 @@
+"""Production entrypoint: the main-content extraction job.
+
+Run with spark-submit (north_rule packaging):
+
+    scripts/package_pyfiles.sh                       # -> dist/extractthinker_spark.zip
+    spark-submit --py-files dist/extractthinker_spark.zip \
+        jobs/extract_job.py \
+        --input  /path/to/documents_parquet \
+        --output /path/to/run_dir \
+        --input-token snapshot-2026-08-16 \
+        --n-buckets 4096 --wave-size 256
+
+Semantics:
+  * input: the interleaved corpus table (doc_id, spans) — parquet here,
+    an Iceberg table on a real cluster (pass the table path; the scan
+    is the same DataFrame);
+  * the doc_id space is hashed into --n-buckets resume units and
+    processed in waves (CheckpointedRun = emulated Iceberg snapshot
+    commits): a killed run restarted with the same --output and
+    --input-token skips every committed bucket;
+  * skew: the transform salts+repartitions on xxhash64(doc_id) before
+    the per-kind extraction (--salt-partitions);
+  * lineage + span/byte metrics are written per task per wave under
+    <output>/_metrics (north_rule).
+
+Use --synthetic N instead of --input to run on the deterministic
+generated corpus (bench / smoke).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None, stop: bool = True) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet/Iceberg path of documents(doc_id, spans)")
+    src.add_argument("--synthetic", type=int, help="generate N synthetic docs instead")
+    ap.add_argument("--output", required=True, help="run directory (data+manifests+metrics)")
+    ap.add_argument("--input-token", default="", help="input snapshot identity for resume")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--wave-size", type=int, default=16)
+    ap.add_argument("--salt-partitions", type=int, default=0,
+                    help="salted repartition width before extraction (0 = skip)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from extractthinker_spark.plans.pipeline import extract_main_content
+    from extractthinker_spark.scale.checkpoint import CheckpointedRun
+    from extractthinker_spark.scale.skew import salt_repartition
+    from extractthinker_spark.session import get_spark
+
+    spark = get_spark("extract-job", master=args.master)
+
+    if args.input:
+        documents = spark.read.parquet(args.input)
+    else:
+        from extractthinker_spark.corpus import corpus_spark
+
+        documents = corpus_spark(spark, args.synthetic)
+
+    def transform(df):
+        # The flagship pipeline is span-granular after explode, so skew
+        # is handled by the salted repartition (mega-doc sub-batching,
+        # scale/skew.py, applies to doc-granular Arrow stages like the
+        # eager splitter — not needed here: the re-nest collect must
+        # see the whole document anyway).
+        if args.salt_partitions:
+            df = salt_repartition(df, args.salt_partitions)
+        return extract_main_content(df, nest=True)
+
+    run = CheckpointedRun(
+        args.output,
+        n_buckets=args.n_buckets,
+        wave_size=args.wave_size,
+        input_token=args.input_token,
+    )
+    t0 = time.time()
+    stats = run.run(spark, documents, transform)
+    stats["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    if stop:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,130 @@
+"""Eval module: field comparison, P/R/F1 metrics, hallucination.
+
+Golden values hand-computed from the reference semantics
+(eval/field_comparison.py, eval/metrics.py, eval/hallucination.py) —
+mirrors tests/test_evaluator.py's golden-metric style.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from extractthinker_spark.eval import (
+    doc_hallucination,
+    document_accuracy,
+    exact_match,
+    field_metrics,
+    fuzzy_match,
+    fuzzy_ratio,
+    hallucination_score,
+    numeric_match,
+    schema_validity,
+)
+
+
+def _cmp(spark, fn, pairs):
+    df = spark.createDataFrame(pairs, "expected string, predicted string")
+    return [
+        r["m"]
+        for r in df.select(
+            fn(F.col("expected"), F.col("predicted")).alias("m")
+        ).collect()
+    ]
+
+
+def test_exact_match(spark):
+    got = _cmp(
+        spark,
+        exact_match,
+        [("a", "a"), (" a ", "a"), ("a", "b"), (None, None), ("a", None)],
+    )
+    assert got == [True, True, False, True, False]
+
+
+def test_fuzzy_ratio_and_match(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("abc", "abc"), ("", "")],
+        "expected string, predicted string",
+    )
+    rows = df.select(
+        fuzzy_ratio(F.col("expected"), F.col("predicted")).alias("r"),
+        fuzzy_match(F.col("expected"), F.col("predicted"), 0.8).alias("m"),
+    ).collect()
+    # levenshtein(kitten, sitting)=3, max_len=7 -> 1-3/7
+    assert abs(rows[0]["r"] - (1 - 3 / 7)) < 1e-6 and rows[0]["m"] is False
+    assert rows[1]["r"] == 1.0 and rows[1]["m"] is True
+    assert rows[2]["r"] == 1.0 and rows[2]["m"] is True
+
+
+def test_numeric_match(spark):
+    got = _cmp(
+        spark,
+        numeric_match,
+        [
+            ("100", "100.5"),   # 0.5% <= 1% tol
+            ("100", "102"),     # 2% > tol
+            ("0", "0.005"),     # absolute at zero
+            ("0", "0.05"),
+            ("abc", "abc"),     # non-numeric -> exact fallback
+            ("abc", "abd"),
+        ],
+    )
+    assert got == [True, False, True, False, True, False]
+
+
+def test_field_metrics_golden(spark):
+    # field f1: 2 correct, 1 wrong-present, 1 wrong-absent
+    #   -> TP=2 FP=1 FN=1, P=2/3, R=2/3, F1=2/3, acc=0.5
+    rows = [
+        ("d1", "f1", "a", "a"),
+        ("d2", "f1", "b", "b"),
+        ("d3", "f1", "c", "x"),
+        ("d4", "f1", "d", ""),
+        ("d1", "f2", "1", "1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, field string, expected string, predicted string"
+    )
+    m = {r["field"]: r for r in field_metrics(df).collect()}
+    f1 = m["f1"]
+    assert (f1["tp"], f1["fp"], f1["fn"], f1["total"]) == (2, 1, 1, 4)
+    assert abs(f1["precision"] - 2 / 3) < 1e-6
+    assert abs(f1["recall"] - 2 / 3) < 1e-6
+    assert abs(f1["f1"] - 2 / 3) < 1e-6
+    assert f1["accuracy"] == 0.5
+    assert m["f2"]["precision"] == 1.0
+
+    acc = document_accuracy(df).collect()[0]
+    # d1 all-correct, d2 correct, d3/d4 wrong -> 2/4
+    assert acc["n_docs"] == 4 and acc["n_correct_docs"] == 2
+    assert acc["doc_accuracy"] == 0.5
+
+    sv = schema_validity(
+        df, F.col("predicted") != ""
+    ).collect()[0]
+    assert sv["n_valid"] == 4 and sv["n_invalid"] == 1
+    assert sv["success_rate"] == 0.8
+
+
+def test_hallucination_tiers(spark):
+    doc = "Invoice Number 00012 issued to ACME Corp on January 30."
+    rows = [
+        ("d", "00012", doc),            # verbatim -> 0.0
+        ("d", "ACME January", doc),     # all words, not phrase -> 0.3
+        ("d", "Corpxyz", doc),          # 4-gram 'Corp' -> 0.6
+        ("d", "zzqqy", doc),            # nothing -> 0.9
+        ("d", None, doc),               # skipped
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, value string, doc_text string")
+    got = [
+        r["s"]
+        for r in df.select(
+            hallucination_score(F.col("value"), F.col("doc_text")).alias("s")
+        ).collect()
+    ]
+    assert got == [0.0, 0.3, 0.6, 0.9, None]
+
+    agg = doc_hallucination(df).collect()[0]
+    # 4 scored fields, 1 >= 0.7 -> overall 0.25
+    assert agg["n_fields"] == 4 and agg["n_contradicted"] == 1
+    assert agg["overall_score"] == 0.25

@@ -1,0 +1,61 @@
+"""End-to-end spark-submit entrypoint: run, output equality, resume."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from extractthinker_spark.corpus import corpus_spark
+from extractthinker_spark.plans.pipeline import extract_main_content
+from extractthinker_spark.scale.checkpoint import CheckpointedRun
+from extractthinker_spark.scale.skew import salt_repartition
+
+
+def _span_tuples(df):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in df.select("doc_id", "spans").collect()
+    }
+
+
+def test_extract_job_transform_and_resume(spark, tmp_path):
+    """The job's transform (salt + extract) through CheckpointedRun
+    equals the direct pipeline, and a second run skips all buckets."""
+    docs = corpus_spark(spark, 80)
+
+    def transform(df):
+        return extract_main_content(salt_repartition(df, 4), nest=True)
+
+    run = CheckpointedRun(str(tmp_path / "run"), n_buckets=8, wave_size=4,
+                          input_token="tok-1")
+    stats = run.run(spark, docs, transform)
+    assert stats["skipped_buckets"] == 0 and stats["docs"] == 80
+
+    got = _span_tuples(run.read_output(spark).drop("bucket"))
+    want = _span_tuples(extract_main_content(docs, nest=True))
+    assert got == want
+
+    # resume: everything already committed
+    stats2 = run.run(spark, docs, transform)
+    assert stats2["skipped_buckets"] == 8 and stats2["waves_run"] == 0
+
+    # lineage metrics exist and cover all docs
+    m = run.read_metrics(spark)
+    assert m.agg(F.sum("n_docs")).collect()[0][0] == 80
+
+
+def test_extract_job_cli(tmp_path, spark):
+    """argparse surface of jobs/extract_job.py (reuses the live session
+    via get_spark's getOrCreate)."""
+    import jobs.extract_job as job
+
+    out = str(tmp_path / "cli-run")
+    job.main([
+        "--synthetic", "40", "--output", out, "--input-token", "t0",
+        "--n-buckets", "4", "--wave-size", "2", "--salt-partitions", "4",
+    ], stop=False)
+    got = spark.read.parquet(f"{out}/data")
+    assert got.count() == 40
+    assert {f.name for f in got.schema.fields} >= {"doc_id", "spans"}

@@ -1,0 +1,115 @@
+"""Multimodal plumbing: header parsing, metadata UDF, media math."""
+
+from __future__ import annotations
+
+import struct
+
+import pyspark.sql.functions as F
+import pytest
+
+from extractthinker_spark.operators.media import (
+    N_FEATURES,
+    decode_pixels,
+    media_features,
+    media_meta,
+    n_vertical_slices,
+    parse_dimensions,
+    resize_to_budget,
+    sample_frames,
+    sniff_format,
+    vertical_slices,
+    _HAS_PIL,
+)
+
+
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    return (
+        b"\xff\xd8"                                # SOI
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"   # APP0
+        + b"\xff\xc0" + struct.pack(">H", 11)      # SOF0
+        + b"\x08" + struct.pack(">HH", h, w)
+        + b"\x03" + b"\x00" * 9
+    )
+
+
+def test_sniff_and_dimensions():
+    assert sniff_format(_png(640, 480)) == "png"
+    assert sniff_format(_gif(10, 20)) == "gif"
+    assert sniff_format(_jpeg(5, 6)) == "jpeg"
+    assert sniff_format(b"%PDF-1.7 ...") == "pdf"
+    assert sniff_format(b"garbage") == "unknown"
+    assert sniff_format(None) is None
+    assert parse_dimensions(_png(640, 480)) == (640, 480)
+    assert parse_dimensions(_gif(320, 200)) == (320, 200)
+    assert parse_dimensions(_jpeg(1024, 768)) == (1024, 768)
+    assert parse_dimensions(b"garbage") == (None, None)
+
+
+def test_media_meta_udf(spark):
+    rows = [
+        ("d1", _png(640, 480)),
+        ("d2", _gif(320, 200)),
+        ("d3", _jpeg(800, 600)),
+        ("d4", b"unknown-bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, raw binary")
+    got = {r["doc_id"]: r for r in media_meta(df).collect()}
+    assert (got["d1"]["media_format"], got["d1"]["width"], got["d1"]["height"]) == (
+        "png", 640, 480,
+    )
+    assert (got["d2"]["width"], got["d2"]["height"]) == (320, 200)
+    assert (got["d3"]["media_format"], got["d3"]["width"]) == ("jpeg", 800)
+    assert got["d4"]["media_format"] == "unknown" and got["d4"]["width"] is None
+    assert got["d1"]["n_bytes"] == len(_png(640, 480))
+
+
+def test_media_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", b"hello world"), ("b", b""), ("a2", b"hello world")],
+        "doc_id string, raw binary",
+    )
+    got = {r["doc_id"]: r["features"] for r in media_features(df).collect()}
+    assert len(got["a"]) == N_FEATURES
+    assert got["a"] == got["a2"]                       # deterministic
+    assert abs(sum(x * x for x in got["a"]) - 1.0) < 1e-9  # L2-normalized
+    assert got["b"] == [0.0] * N_FEATURES
+
+
+def test_decode_pixels_stubbed():
+    if not _HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_pixels(_png(2, 2))
+
+
+def test_media_math(spark):
+    df = spark.createDataFrame(
+        [(2500, 2000, 1000, 10)], "h int, w int, hh int, n int"
+    )
+    row = df.select(
+        n_vertical_slices(F.col("h")).alias("ns"),
+        vertical_slices(F.col("h")).alias("sl"),
+        resize_to_budget(F.col("w"), F.col("hh"), 500).alias("rs"),
+        resize_to_budget(F.lit(300), F.lit(200), 500).alias("noup"),
+        sample_frames(F.col("n"), 4).alias("fr"),
+    ).collect()[0]
+    assert row["ns"] == 3
+    assert [(s["slice_no"], s["y0"], s["y1"]) for s in row["sl"]] == [
+        (0, 0, 1000), (1, 1000, 2000), (2, 2000, 2500),
+    ]
+    assert (row["rs"]["width"], row["rs"]["height"]) == (500, 250)
+    assert (row["noup"]["width"], row["noup"]["height"]) == (300, 200)
+    assert row["fr"] == [0, 3, 6, 9]

@@ -328,7 +328,7 @@ def _q_minhash_jaccard(spark, sf):
 
 def _q_simhash_pairs(spark, sf):
     d = _with_dups(_t(spark, sf, "documents"))
-    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3, portable=True)
 
 
 def _q_ann_brute(spark, sf):
@@ -829,6 +829,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
           FROM s) WHERE rnk <= 5
+    """
+    sql["simhash_near_dups"] = """
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
+        w AS (SELECT doc_id,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM all_docs),
+        h AS (SELECT doc_id,
+              ('0x' || substring(md5(word), 1, 15))::BIGINT AS h FROM w),
+        bits AS (SELECT doc_id, g.i AS bit,
+              sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h, unnest(generate_series(0, 63)) AS g(i)
+              GROUP BY doc_id, g.i),
+        sh AS (SELECT doc_id,
+              sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                AS sh
+              FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """
     sql["eval_field_compare"] = f"""
         WITH n AS (SELECT doc_id, n_chars, {_NORM} AS norm FROM documents),

@@ -254,14 +254,25 @@ def ngram_jaccard_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash64(text: Column) -> Column:
+def _word_hash_portable(w: Column) -> Column:
+    """60-bit word hash derivable in any ANSI engine: first 15 hex
+    chars of md5 parsed as an integer. Slower than xxhash64 — used for
+    cross-engine value-level verification (the DuckDB oracle computes
+    the identical value); production keeps xxhash64."""
+    return F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(text: Column, portable: bool = False) -> Column:
     """64-bit SimHash over word tokens, pure Catalyst.
 
     For each bit position: sum over tokens of (+1 if the token's
-    xxhash64 has that bit set else -1); bit = 1 iff the sum > 0.
+    hash has that bit set else -1); bit = 1 iff the sum > 0.
+    ``portable`` swaps xxhash64 for the md5-derived word hash so the
+    whole operator is verifiable against an ANSI-SQL oracle.
     """
     words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+"), F.lit(0))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    word_hash = _word_hash_portable if portable else F.xxhash64
+    hashes = F.transform(words, lambda w: word_hash(w))
     def bit_vote(i):
         return F.when(
             F.aggregate(
@@ -285,15 +296,25 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, key: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidate generation: split the 64-bit simhash into 4 16-bit chunks;
     by pigeonhole, any pair within hamming 3 shares at least one exact
-    chunk → bucket join per chunk, verify hamming on candidates.
+    chunk → bucket join per chunk, verify hamming on candidates. The
+    pigeonhole filter loses nothing at max_hamming <= 3, so the result
+    equals the all-pairs answer — which is exactly what the DuckDB
+    oracle computes when ``portable`` hashing is on.
     """
-    sh = df.select(F.col(key).alias("_k"), simhash64(F.col(text_col)).alias("sh"))
+    sh = df.select(
+        F.col(key).alias("_k"),
+        simhash64(F.col(text_col), portable=portable).alias("sh"),
+    )
     chunks = sh.select(
         "_k", "sh",
         F.explode(

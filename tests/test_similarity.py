@@ -1,0 +1,88 @@
+"""Similarity search: brute-force correctness, LSH recall, near-dups."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from extractthinker_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    cosine,
+    cosine_near_dups,
+)
+
+
+def _mix(i: int, j: int) -> float:
+    x = (i * 2654435761 + j * 40503) & 0xFFFFFFFF
+    x ^= x >> 16
+    return ((x * 2246822519) & 0xFFFFFFFF) / 0xFFFFFFFF - 0.5
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    dim = 16
+    rows = [(i, [_mix(i, j) for j in range(dim)]) for i in range(80)]
+    # planted near-dups of vectors 0..4: tiny additive perturbation
+    rows += [
+        (100 + i, [v + 0.001 for v in rows[i][1]]) for i in range(5)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).cache()
+
+
+def test_brute_force_topk_golden(spark, vectors):
+    """The planted near-dup must be every seed's rank-1 neighbor, with
+    cosine ~1; python recomputation agrees with the Spark fold."""
+    queries = vectors.filter(F.col("vec_id") < 5)
+    got = brute_force_topk(vectors, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    data = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    for q in range(5):
+        top = sorted(by_q[q], key=lambda r: r["rank"])[0]
+        assert top["neighbor_id"] == 100 + q
+        assert top["cos_sim"] > 0.9995
+        # python twin of the zip_with/aggregate fold
+        a, b = data[q], data[top["neighbor_id"]]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert abs(top["cos_sim"] - round(dot / (na * nb), 6)) < 1e-9
+
+
+def test_lsh_subset_and_recall(spark, vectors):
+    """LSH results are a subset of the brute-force candidate space with
+    identical cos_sim values, and near-identical vectors always collide
+    (recall 1.0 on the planted pairs)."""
+    queries = vectors.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(vectors, queries, k=79).collect()
+    }
+    lsh = ann_topk_lsh(vectors, queries, k=5).collect()
+    assert lsh, "LSH returned nothing"
+    for r in lsh:
+        assert (r["query_id"], r["neighbor_id"]) in brute
+        assert abs(brute[(r["query_id"], r["neighbor_id"])] - r["cos_sim"]) < 1e-9
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in lsh if r["rank"] == 1}
+    assert all(rank1[q] == 100 + q for q in range(5))
+
+
+def test_cosine_near_dups_exact_vs_lsh(spark, vectors):
+    exact = {
+        (r["a"], r["b"])
+        for r in cosine_near_dups(vectors, threshold=0.9995, exact=True).collect()
+    }
+    assert exact == {(q, 100 + q) for q in range(5)}
+    lsh = {
+        (r["a"], r["b"])
+        for r in cosine_near_dups(vectors, threshold=0.9995).collect()
+    }
+    # scale path: subset of the exact answer, and the planted pairs
+    # (nearly identical vectors) must all collide in some table
+    assert lsh == exact

@@ -34,7 +34,10 @@ from extractthinker_spark.operators.dedup import (
 )
 from extractthinker_spark.operators.extract import extract_scalar_fields
 from extractthinker_spark.operators.layout import ordered_block_texts, reading_order
-from extractthinker_spark.operators.parse_core import replace_media_markers
+from extractthinker_spark.operators.parse_core import (
+    remove_table_lines,
+    replace_media_markers,
+)
 from extractthinker_spark.operators.parse_html import strip_html_udf
 from extractthinker_spark.eval.field_compare import (
     exact_match,
@@ -513,6 +516,24 @@ def _q_media_slices(spark, sf):
     )
 
 
+def _q_table_line_subtract(spark, sf):
+    """Azure-DI semantics: body lines duplicated by a table row are
+    removed from the text (S16). Body = 3 lines, line 2 duplicates a
+    table row on even doc_ids."""
+    d = _t(spark, sf, "documents")
+    head = F.substring(F.col("text"), 1, 20)
+    body = F.concat(
+        F.lit("intro\n"), head, F.lit(" | cell2\n"), F.lit("outro")
+    )
+    tables = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.array(F.array(F.array(head, F.lit("cell2")))),
+    ).otherwise(F.array(F.array(F.array(F.lit("other"), F.lit("row")))))
+    return d.select(
+        "doc_id", remove_table_lines(body, tables).alias("cleaned")
+    )
+
+
 def _q_truncate(spark, sf):
     """Sentence-boundary token-budget truncation (rows-only: the binary
     search is not SQL-expressible)."""
@@ -557,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spreadsheet_rows": _q_spreadsheet_rows,
         "dedup_embedding_cosine": _q_cosine_near_dups,
         "media_vertical_slices": _q_media_slices,
+        "table_line_subtract": _q_table_line_subtract,
         "truncate_token_budget": _q_truncate,
     }
 
@@ -959,6 +981,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(least(height, (g.i + 1) * 1000) AS INT) AS y1
         FROM d, unnest(generate_series(0,
              CAST(ceil(height / 1000.0) AS INT) - 1)) AS g(i)
+    """
+    sql["table_line_subtract"] = r"""
+        WITH d AS (SELECT doc_id, substring(text, 1, 20) AS head FROM documents),
+        b AS (SELECT doc_id,
+               'intro' || chr(10) || head || ' | cell2' || chr(10) || 'outro'
+                 AS body,
+               CASE WHEN doc_id % 2 = 0 THEN [head || ' | cell2']
+                    ELSE ['other | row'] END AS row_strings
+              FROM d)
+        SELECT doc_id,
+               list_aggregate(list_filter(string_split(body, chr(10)),
+                 x -> NOT list_contains(row_strings, trim(x))),
+                 'string_agg', chr(10)) AS cleaned
+        FROM b
     """
     # simhash_near_dups / ann_topk_lsh (xxhash64-based) and
     # truncate_token_budget (binary-search truncation) are not

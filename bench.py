@@ -40,9 +40,8 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
     from extractthinker_spark.corpus import corpus_spark
     from extractthinker_spark.operators.extract import paginate_extract
     from extractthinker_spark.operators.split import (
-        group_pages,
         pages_from_documents,
-        split_lazy,
+        split_lazy_pages,
     )
     from extractthinker_spark.plans.pipeline import extract_main_content
     from extractthinker_spark.session import get_spark
@@ -74,8 +73,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
 
     # Split + paginate-extract over the corpus' multi-page documents.
     def split_extract():
-        pages = pages_from_documents(docs)
-        grouped = group_pages(pages, split_lazy(pages))
+        grouped = split_lazy_pages(pages_from_documents(docs))
         _force(paginate_extract(grouped, keys=["doc_id"]))
 
     timed("split_classify_extract", split_extract)

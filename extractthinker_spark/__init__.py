@@ -20,4 +20,11 @@ Design rules (see SURVEY.md):
 
 __version__ = "0.1.0"
 
+from extractthinker_spark.api import (  # noqa: F401
+    Classification,
+    CompletionStrategy,
+    Extractor,
+    Process,
+    SplitStrategy,
+)
 from extractthinker_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,191 @@
+"""Reference-shaped user API: Extractor / Process over DataFrames.
+
+A user of ExtractThinker writes (tests/test_process.py:66-161 shape):
+
+    process = Process()
+    process.load_document_loader(loader)
+    process.load_file(path).split(classifications, SplitStrategy.LAZY)
+           .extract()
+
+The Spark-native twin keeps the same vocabulary but every argument and
+result is a DataFrame, so the same program runs on 10^12 documents:
+
+    proc = Process(classifications)
+    result = proc.load(corpus_df).split(SplitStrategy.LAZY).extract()
+
+Classifications carry (name, patterns, contract) exactly like
+models/classification.py:6-17; omitted → the built-in registry. The
+facade is thin by design: each method delegates to the operator
+modules, so the plan is identical to composing them by hand.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from extractthinker_spark.contracts import (
+    CLASS_RULES,
+    CONTRACT_FIELDS,
+    CONTRACT_LIST_FIELDS,
+)
+from extractthinker_spark.operators.classify import classify_keyword
+from extractthinker_spark.operators.extract import extract_fields, paginate_extract
+from extractthinker_spark.operators.split import (
+    pages_from_documents,
+    split_eager,
+    split_lazy,
+    split_lazy_pages,
+)
+from extractthinker_spark.plans.pipeline import doc_text, extract_main_content
+
+
+class SplitStrategy(str, Enum):
+    LAZY = "lazy"
+    EAGER = "eager"
+
+
+class CompletionStrategy(str, Enum):
+    FORBIDDEN = "forbidden"   # whole-document extraction
+    PAGINATE = "paginate"     # per-page partial + merge
+
+
+@dataclass
+class Classification:
+    """Registry entry — models/classification.py:6-17 shape with the
+    LLM judgment replaced by deterministic patterns."""
+
+    name: str
+    description: str = ""
+    patterns: list[str] = field(default_factory=list)
+    contract: dict[str, str] | None = None        # field -> regex(group 1)
+    list_contract: dict[str, str] | None = None
+
+
+def default_classifications() -> list[Classification]:
+    return [
+        Classification(
+            name=n,
+            patterns=list(p),
+            contract=CONTRACT_FIELDS.get(n),
+            list_contract=CONTRACT_LIST_FIELDS.get(n),
+        )
+        for n, p in CLASS_RULES
+    ]
+
+
+class Extractor:
+    """Single-document-path operations (reference Extractor)."""
+
+    def __init__(self, classifications: list[Classification] | None = None):
+        self.classifications = classifications or default_classifications()
+
+    def _rules(self) -> list[tuple[str, list[str]]]:
+        return [(c.name, c.patterns) for c in self.classifications]
+
+    def classify(self, df: DataFrame, text_col: str = "content") -> DataFrame:
+        """+ (classification, confidence) columns — extractor.py:722-772
+        semantics (name match-back is by construction exact here)."""
+        res = classify_keyword(F.col(text_col), self._rules())
+        return df.withColumn("classification", res["name"]).withColumn(
+            "confidence", res["confidence"]
+        )
+
+    def extract(
+        self, df: DataFrame, text_col: str = "content",
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Long-format (key, contract, field, value) extraction for rows
+        already carrying a ``classification`` column."""
+        return extract_fields(df, text_col=text_col, keys=keys)
+
+
+class Process:
+    """Multi-document pipeline: load → split → classify → extract
+    (process.py:205-309 shape, DataFrame-native)."""
+
+    def __init__(self, classifications: list[Classification] | None = None):
+        self.extractor = Extractor(classifications)
+        self._documents: DataFrame | None = None
+        self._grouped: DataFrame | None = None
+
+    # -- loading ------------------------------------------------------------
+
+    def load(self, documents: DataFrame) -> Process:
+        """documents(doc_id, spans) — the corpus table IS the loader."""
+        self._documents = documents
+        return self
+
+    def extract_content(self, nest: bool = True) -> DataFrame:
+        """The parse stage alone (loader equivalent): per-kind span
+        transforms (HTML strip, page-header strip, marker replace)."""
+        return extract_main_content(self._require_docs(), nest=nest)
+
+    # -- split --------------------------------------------------------------
+
+    def split(self, strategy: SplitStrategy = SplitStrategy.LAZY) -> Process:
+        """Page-group segmentation; requires pdf_text page spans."""
+        pages = pages_from_documents(self._require_docs())
+        if strategy == SplitStrategy.LAZY:
+            self._grouped = split_lazy_pages(pages)
+        else:
+            groups = split_eager(pages)
+            g = groups.select(
+                "doc_id", "group_id", "classification",
+                F.explode("pages").alias("page_no"),
+            )
+            self._grouped = g.join(pages, ["doc_id", "page_no"]).select(
+                "doc_id", "group_id", "classification", "page_no", "content"
+            )
+        return self
+
+    def groups(self) -> DataFrame:
+        return self._require_groups()
+
+    # -- classify / extract ---------------------------------------------------
+
+    def classify(self, text_col: str = "content") -> DataFrame:
+        """Whole-document classification (no split): parse first, then
+        classify the merged MAIN content — raw html boilerplate (nav
+        bars full of '|', footers) must not feed the rule scorer, just
+        as the reference classifies loader output, never raw bytes."""
+        merged = doc_text(self.extract_content(nest=True))
+        return self.extractor.classify(merged, text_col=text_col).select(
+            "doc_id", "classification", "confidence"
+        )
+
+    def extract(
+        self,
+        completion: CompletionStrategy = CompletionStrategy.PAGINATE,
+    ) -> DataFrame:
+        """Per-group extraction after split(): long format
+        (doc_id, group_id, contract, field, value)."""
+        grouped = self._require_groups()
+        keys = ["doc_id", "group_id"]
+        if completion == CompletionStrategy.PAGINATE:
+            return paginate_extract(grouped, keys=keys)
+        whole = grouped.groupBy(*keys, "classification").agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("page_no", "content"))),
+                    lambda s: s["content"],
+                ),
+                "\n\n",
+            ).alias("content")
+        )
+        return extract_fields(whole, keys=keys)
+
+    # -- internals ------------------------------------------------------------
+
+    def _require_docs(self) -> DataFrame:
+        if self._documents is None:
+            raise ValueError("call load(documents) first")
+        return self._documents
+
+    def _require_groups(self) -> DataFrame:
+        if self._grouped is None:
+            raise ValueError("call split(strategy) first")
+        return self._grouped

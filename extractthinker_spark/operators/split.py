@@ -102,6 +102,61 @@ def split_lazy(pages: DataFrame) -> DataFrame:
     )
 
 
+def split_lazy_pages(pages: DataFrame) -> DataFrame:
+    """Join-free lazy split: page rows annotated with their group.
+
+    Returns (doc_id, group_id, classification, page_no, content) — the
+    exact shape of ``group_pages(pages, split_lazy(pages))`` — with ONE
+    exchange (on doc_id) instead of three (window + groupBy + join
+    back). Trick: within a group every *named* page shares one class by
+    construction (a named page with a different class starts a new
+    group), so the group's classification is ANY named page's class in
+    the group — findable with a backward and a forward window over the
+    same doc_id partitioning, no aggregation needed.
+    """
+    w = Window.partitionBy("doc_id").orderBy("page_no")
+    cls = classify_keyword(F.col("content"))
+    scored = pages.select(
+        "doc_id", "page_no", "content", cls["name"].alias("page_class")
+    )
+    prev_named = F.last(
+        F.when(F.col("page_class") != UNKNOWN, F.col("page_class")),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    first = F.row_number().over(w) == 1
+    boundary = (
+        F.when(first, 1)
+        .when(F.col("page_class") == UNKNOWN, 0)
+        .when(F.col("page_class") == F.coalesce(prev_named, F.lit("\0")), 0)
+        .otherwise(1)
+    )
+    grouped = scored.withColumn(
+        "group_id",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    named = F.when(
+        F.col("page_class") != UNKNOWN,
+        F.struct("group_id", F.col("page_class").alias("cls")),
+    )
+    back = F.last(named, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first(named, ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    classification = F.coalesce(
+        F.when(back["group_id"] == F.col("group_id"), back["cls"]),
+        F.when(fwd["group_id"] == F.col("group_id"), fwd["cls"]),
+        F.lit(UNKNOWN),
+    )
+    return grouped.select(
+        "doc_id", "group_id", classification.alias("classification"),
+        "page_no", "content",
+    )
+
+
 # Shared pure-python pair judgment — used by the eager path and unit
 # tests, required to agree with the SQL expressions above.
 _COMPILED_RULES = [

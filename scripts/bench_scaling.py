@@ -53,9 +53,8 @@ def worker(cpus: int, docs: int) -> dict:
     from extractthinker_spark.corpus import corpus_spark
     from extractthinker_spark.operators.extract import paginate_extract
     from extractthinker_spark.operators.split import (
-        group_pages,
         pages_from_documents,
-        split_lazy,
+        split_lazy_pages,
     )
     from extractthinker_spark.plans.pipeline import extract_main_content
     from extractthinker_spark.session import get_spark
@@ -79,8 +78,7 @@ def worker(cpus: int, docs: int) -> dict:
                EXTRACT_ITERS)
 
     def split_job():
-        pages = pages_from_documents(corpus)
-        grouped = group_pages(pages, split_lazy(pages))
+        grouped = split_lazy_pages(pages_from_documents(corpus))
         _force(paginate_extract(grouped, keys=["doc_id"]))
 
     sp = timed(split_job, SPLIT_ITERS)

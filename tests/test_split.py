@@ -81,3 +81,19 @@ def test_group_pages_projection(pages):
     # every page lands in exactly one group
     assert gp.count() == pages.count()
     assert gp.groupBy("doc_id", "page_no").count().filter("count > 1").count() == 0
+
+
+def test_lazy_pages_equals_group_join(pages):
+    """The join-free split_lazy_pages must equal the
+    group_pages(split_lazy(...)) composition row-for-row."""
+    from extractthinker_spark.operators.split import split_lazy_pages
+
+    a = {
+        (r["doc_id"], r["page_no"]): (r["group_id"], r["classification"])
+        for r in split_lazy_pages(pages).collect()
+    }
+    b = {
+        (r["doc_id"], r["page_no"]): (r["group_id"], r["classification"])
+        for r in group_pages(pages, split_lazy(pages)).collect()
+    }
+    assert a == b

@@ -289,6 +289,41 @@ def _q_classify(spark, sf):
     )
 
 
+def _q_classify_consensus(spark, sf):
+    """Three scorers (keyword / header / contract-fields) + layered
+    consensus strategies (process.py:95-125 semantics). The synthetic
+    credit-note rows make the scorers genuinely disagree (the fields
+    scorer reads 'Reference Invoice #' as an Invoice), so the layer
+    fallback to HIGHER_ORDER is exercised, not just plumbing."""
+    from extractthinker_spark.operators.classify import (
+        classify_fields,
+        classify_header,
+        consensus,
+        consensus_with_threshold,
+        higher_order,
+        layered,
+    )
+
+    o = _t(spark, sf, "orders")
+    txt = _synth_class_text()
+    k = classify_keyword(txt)
+    h = classify_header(txt)
+    f = classify_fields(txt)
+    final = layered(
+        consensus(k, h, f),
+        consensus_with_threshold(8, k, h, f),
+        higher_order(k, h, f),
+    )
+    return o.select(
+        "o_orderkey",
+        k["name"].alias("k_name"), k["confidence"].alias("k_conf"),
+        h["name"].alias("h_name"), h["confidence"].alias("h_conf"),
+        f["name"].alias("f_name"), f["confidence"].alias("f_conf"),
+        final["name"].alias("final_name"),
+        final["confidence"].alias("final_conf"),
+    )
+
+
 def _q_extract_fields(spark, sf):
     o = _t(spark, sf, "orders")
     base = o.select(
@@ -564,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_per_source": _q_first_per_source,
         "marker_replace": _q_marker_replace,
         "classify_rules": _q_classify,
+        "classify_consensus": _q_classify_consensus,
         "extract_contract_fields": _q_extract_fields,
         "chunk_pack": _q_chunk_pack,
         "minhash_jaccard_pairs": _q_minhash_jaccard,
@@ -646,6 +682,89 @@ def _classify_sql() -> str:
                CASE WHEN gm <= 1 THEN 'Unknown' {case} END AS class_name,
                CASE WHEN gm <= 1 THEN 1 ELSE gm END AS confidence
         FROM g
+    """
+
+
+def _scorer_sql(prefix: str, scored: list[tuple[str, str]]) -> tuple[str, str, str]:
+    """Shared argmax replication (classify._argmax_classes semantics):
+    highest confidence wins, ties break to the lexically smallest name,
+    all-misses -> Unknown/1. ``scored`` = [(name, conf_expr)]."""
+    cols = ", ".join(
+        f"({c}) AS {prefix}c_{i}" for i, (_, c) in enumerate(scored)
+    )
+    gm = "greatest({})".format(
+        ", ".join(f"{prefix}c_{i}" for i in range(len(scored)))
+    )
+    order = sorted(range(len(scored)), key=lambda i: scored[i][0])
+    case = " ".join(
+        f"WHEN {prefix}c_{i} = {prefix}gm THEN '{scored[i][0]}'" for i in order
+    )
+    return cols, gm, case
+
+
+def _consensus_sql() -> str:
+    # keyword scorer (classify_keyword): hits -> 1 | min(10, 2h+2)
+    k_scored = []
+    for name, pats in CLASS_RULES:
+        hits = " + ".join(
+            f"(CASE WHEN regexp_matches(txt, '{p}') THEN 1 ELSE 0 END)"
+            for p in pats
+        )
+        k_scored.append(
+            (name, f"CASE WHEN ({hits}) = 0 THEN 1 ELSE least(10, 2*({hits}) + 2) END")
+        )
+    # header scorer (classify_header): class name in the first line -> 10
+    h_scored = [
+        (
+            name,
+            "CASE WHEN contains(upper(split_part(txt, chr(10), 1)), "
+            f"'{name.upper()}') THEN 10 ELSE 1 END",
+        )
+        for name, _ in CLASS_RULES
+    ]
+    # contract-fields scorer (classify_fields): hits -> 1 | min(10, 3h+1)
+    f_scored = []
+    for name, fields in CONTRACT_FIELDS.items():
+        hits = " + ".join(
+            "(CASE WHEN regexp_matches(txt, '{}') THEN 1 ELSE 0 END)".format(
+                p.replace("'", "''")
+            )
+            for p in fields.values()
+        )
+        f_scored.append(
+            (name, f"CASE WHEN ({hits}) = 0 THEN 1 ELSE least(10, 3*({hits}) + 1) END")
+        )
+
+    k_cols, k_gm, k_case = _scorer_sql("k", k_scored)
+    h_cols, h_gm, h_case = _scorer_sql("h", h_scored)
+    f_cols, f_gm, f_case = _scorer_sql("f", f_scored)
+    pick = (
+        "CASE WHEN {gm} <= 1 THEN 'Unknown' {case} END AS {p}_name, "
+        "CASE WHEN {gm} <= 1 THEN 1 ELSE {gm} END AS {p}_conf"
+    )
+    return f"""
+        WITH t AS (SELECT o_orderkey, {_SYNTH_TEXT_SQL} AS txt FROM orders),
+        s AS (SELECT o_orderkey, {k_cols}, {h_cols}, {f_cols} FROM t),
+        g AS (SELECT *, {k_gm} AS kgm, {h_gm} AS hgm, {f_gm} AS fgm FROM s),
+        n AS (SELECT o_orderkey,
+              {pick.format(gm='kgm', case=k_case, p='k')},
+              {pick.format(gm='hgm', case=h_case, p='h')},
+              {pick.format(gm='fgm', case=f_case, p='f')}
+              FROM g),
+        hi AS (SELECT *,
+              greatest(k_conf, h_conf, f_conf) AS bc FROM n),
+        ho AS (SELECT *,
+              greatest(CASE WHEN k_conf = bc THEN k_name END,
+                       CASE WHEN h_conf = bc THEN h_name END,
+                       CASE WHEN f_conf = bc THEN f_name END) AS bn
+              FROM hi)
+        SELECT o_orderkey, k_name, k_conf, h_name, h_conf, f_name, f_conf,
+               CASE WHEN k_name = h_name AND h_name = f_name
+                    THEN k_name ELSE bn END AS final_name,
+               CASE WHEN k_name = h_name AND h_name = f_name
+                    THEN greatest(k_conf, h_conf, f_conf)
+                    ELSE bc END AS final_conf
+        FROM ho
     """
 
 
@@ -786,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     sql["classify_rules"] = _classify_sql()
+    sql["classify_consensus"] = _consensus_sql()
     sql["extract_contract_fields"] = _extract_fields_sql()
     sql["chunk_pack"] = f"""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS units FROM documents),

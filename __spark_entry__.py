@@ -324,6 +324,54 @@ def _q_classify_consensus(spark, sf):
     )
 
 
+_TREE = {
+    "nodes": [
+        {
+            "name": "Financial Document",
+            "patterns": [r"(?i)invoice", r"(?i)total:", r"(?i)credit"],
+            "children": {
+                "nodes": [
+                    {"name": "Invoice",
+                     "patterns": [r"(?i)invoice\s*#", r"(?i)date:"],
+                     "children": None},
+                    {"name": "Credit Note",
+                     "patterns": [r"(?i)credit note", r"(?i)reference invoice"],
+                     "children": None},
+                ]
+            },
+        },
+        {
+            "name": "Identity Document",
+            "patterns": [r"(?i)driver license", r"(?i)license no"],
+            "children": {
+                "nodes": [
+                    {"name": "Driver License",
+                     "patterns": [r"(?i)license no", r"(?i)age:"],
+                     "children": None},
+                ]
+            },
+        },
+    ]
+}
+
+
+def _q_classify_tree(spark, sf):
+    """Level-by-level tree classification (process.py:127-188): descend
+    only while the level's confidence clears the threshold; a failed
+    level-2 leaves the level-1 class."""
+    from extractthinker_spark.operators.classify import classify_tree
+
+    o = _t(spark, sf, "orders")
+    base = o.select("o_orderkey", _synth_class_text().alias("content"))
+    out = classify_tree(base, "content", _TREE, threshold=6)
+    return out.select(
+        "o_orderkey",
+        "tree_class",
+        "tree_confidence",
+        F.array_join("tree_path", "/").alias("path_str"),
+    )
+
+
 def _q_extract_fields(spark, sf):
     o = _t(spark, sf, "orders")
     base = o.select(
@@ -427,6 +475,22 @@ def _q_html_strip(spark, sf):
               "<footer>f</footer></body></html>"),
     )
     return d.select("doc_id", strip_html_udf(html).alias("main_text"))
+
+
+def _q_cost_metrics(spark, sf):
+    """Token-cost accounting per source (eval/cost_metrics.py:1-98
+    semantics, price constant instead of litellm): total/min/max/avg
+    token counts and dollar cost — map-side combinable aggregation."""
+    d = _t(spark, sf, "documents")
+    toks = count_tokens(F.col("text"))
+    per_1k_usd = 0.002
+    return d.select("source", toks.alias("t")).groupBy("source").agg(
+        F.sum("t").alias("total_tokens"),
+        F.min("t").alias("min_tokens"),
+        F.max("t").alias("max_tokens"),
+        F.round(F.avg("t"), 4).alias("avg_tokens"),
+        F.round(F.sum("t") / 1000 * per_1k_usd, 6).alias("cost_usd"),
+    )
 
 
 def _q_field_compare(spark, sf):
@@ -600,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marker_replace": _q_marker_replace,
         "classify_rules": _q_classify,
         "classify_consensus": _q_classify_consensus,
+        "classify_tree": _q_classify_tree,
         "extract_contract_fields": _q_extract_fields,
         "chunk_pack": _q_chunk_pack,
         "minhash_jaccard_pairs": _q_minhash_jaccard,
@@ -608,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_lsh,
         "html_strip": _q_html_strip,
         "xycut_reading_order": _q_xycut,
+        "cost_metrics": _q_cost_metrics,
         "eval_field_compare": _q_field_compare,
         "eval_field_metrics": _q_field_metrics,
         "eval_hallucination": _q_hallucination,
@@ -768,6 +834,64 @@ def _consensus_sql() -> str:
     """
 
 
+def _keyword_scored(rules) -> list[tuple[str, str]]:
+    out = []
+    for name, pats in rules:
+        hits = " + ".join(
+            f"(CASE WHEN regexp_matches(txt, '{p}') THEN 1 ELSE 0 END)"
+            for p in pats
+        )
+        out.append(
+            (name, f"CASE WHEN ({hits}) = 0 THEN 1 ELSE least(10, 2*({hits}) + 2) END")
+        )
+    return out
+
+
+def _tree_sql() -> str:
+    """Two-level twin of classify_tree over _TREE (generated from the
+    same constant so the rule sets cannot drift)."""
+    l1 = [(n["name"], n["patterns"]) for n in _TREE["nodes"]]
+    fin = [(n["name"], n["patterns"])
+           for n in _TREE["nodes"][0]["children"]["nodes"]]
+    idn = [(n["name"], n["patterns"])
+           for n in _TREE["nodes"][1]["children"]["nodes"]]
+    c1, g1, w1 = _scorer_sql("l1", _keyword_scored(l1))
+    c2, g2, w2 = _scorer_sql("fin", _keyword_scored(fin))
+    c3, g3, w3 = _scorer_sql("idn", _keyword_scored(idn))
+    fin_name, idn_name = _TREE["nodes"][0]["name"], _TREE["nodes"][1]["name"]
+    return f"""
+        WITH t AS (SELECT o_orderkey, {_SYNTH_TEXT_SQL} AS txt FROM orders),
+        s AS (SELECT o_orderkey, {c1}, {c2}, {c3} FROM t),
+        g AS (SELECT *, {g1} AS l1gm, {g2} AS fingm, {g3} AS idngm FROM s),
+        n AS (SELECT o_orderkey,
+              CASE WHEN l1gm <= 1 THEN 'Unknown' {w1} END AS l1_name,
+              CASE WHEN l1gm <= 1 THEN 1 ELSE l1gm END AS l1_conf,
+              CASE WHEN fingm <= 1 THEN 'Unknown' {w2} END AS fin_name,
+              CASE WHEN fingm <= 1 THEN 1 ELSE fingm END AS fin_conf,
+              CASE WHEN idngm <= 1 THEN 'Unknown' {w3} END AS idn_name,
+              CASE WHEN idngm <= 1 THEN 1 ELSE idngm END AS idn_conf
+              FROM g),
+        lv AS (SELECT *,
+              (l1_conf >= 6 AND l1_name <> 'Unknown') AS p1,
+              CASE WHEN l1_name = '{fin_name}' THEN fin_name
+                   WHEN l1_name = '{idn_name}' THEN idn_name END AS l2_name,
+              CASE WHEN l1_name = '{fin_name}' THEN fin_conf
+                   WHEN l1_name = '{idn_name}' THEN idn_conf END AS l2_conf
+              FROM n),
+        fin2 AS (SELECT *,
+              (p1 AND l2_conf >= 6 AND l2_name <> 'Unknown') AS p2 FROM lv)
+        SELECT o_orderkey,
+               CASE WHEN NOT p1 THEN NULL
+                    WHEN p2 THEN l2_name ELSE l1_name END AS tree_class,
+               CASE WHEN NOT p1 THEN NULL
+                    WHEN p2 THEN l2_conf ELSE l1_conf END AS tree_confidence,
+               CASE WHEN NOT p1 THEN ''
+                    WHEN p2 THEN l1_name || '/' || l2_name
+                    ELSE l1_name END AS path_str
+        FROM fin2
+    """
+
+
 _SYNTH_TEXT_SQL = (
     "CASE WHEN o_orderkey % 3 = 0 THEN "
     "'Invoice #' || o_orderkey || e'\\nDate: ' || CAST(o_orderdate AS DATE) "
@@ -906,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["classify_rules"] = _classify_sql()
     sql["classify_consensus"] = _consensus_sql()
+    sql["classify_tree"] = _tree_sql()
     sql["extract_contract_fields"] = _extract_fields_sql()
     sql["chunk_pack"] = f"""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS units FROM documents),
@@ -994,6 +1119,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """
+    sql["cost_metrics"] = f"""
+        WITH tk AS (
+          SELECT d.source,
+            CAST(coalesce((
+              SELECT sum(CASE WHEN length(tok) <= 4 THEN 1
+                              ELSE greatest(1, CAST(floor(length(tok)/4) AS BIGINT)) END)
+              FROM unnest(regexp_extract_all(lower(d.text),
+                   '{TOKEN_CHUNK_PATTERN}')) AS u(tok)), 0) AS BIGINT) AS t
+          FROM documents d)
+        SELECT source,
+               CAST(sum(t) AS BIGINT) AS total_tokens,
+               CAST(min(t) AS BIGINT) AS min_tokens,
+               CAST(max(t) AS BIGINT) AS max_tokens,
+               round(avg(t), 4) AS avg_tokens,
+               round(sum(t) / 1000 * 0.002, 6) AS cost_usd
+        FROM tk GROUP BY source
     """
     sql["eval_field_compare"] = f"""
         WITH n AS (SELECT doc_id, n_chars, {_NORM} AS norm FROM documents),

@@ -213,6 +213,10 @@ def classify_tree(
             )
             for n in nodes:
                 if n.get("children"):
+                    children = n["children"]
+                    child_nodes = (
+                        children["nodes"] if isinstance(children, dict) else children
+                    )
                     child_path = path + n["name"] + "/"
                     df = df.withColumn(
                         "_frontier",
@@ -221,7 +225,7 @@ def classify_tree(
                             F.lit(child_path),
                         ).otherwise(F.col("_frontier")),
                     )
-                    next_frontiers.append((child_path, n["children"]))
+                    next_frontiers.append((child_path, child_nodes))
         frontiers = next_frontiers
         depth += 1
     return df.drop("_frontier")

@@ -108,6 +108,22 @@ def nest_spans(flat: DataFrame, order_col: str = "offset") -> DataFrame:
     return nested
 
 
+def drop_media_spans(spans: Column) -> Column:
+    """Image-removal projection (extractor.py:163-191): drop media
+    spans and blank media_refs, preserving order and re-sequencing
+    offsets — the vision-off content view. Pure array expressions."""
+    kept = F.filter(spans, lambda s: s["kind"] != "media")
+    return F.transform(
+        kept,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
 def remove_table_lines(text: Column, tables: Column, cell_sep: str = " | ") -> Column:
     """Subtract table-duplicated lines from body text.
 

@@ -75,3 +75,30 @@ def test_doc_text_merge(spark, extracted):
         extracted.select("doc_id", F.size("spans").alias("n")), "doc_id"
     ).filter(F.col("doc_id") == "doc_000085").collect()[0]
     assert "[Image content: img-0]" in inter["content"]
+
+
+def test_drop_media_spans(spark):
+    from extractthinker_spark.operators.parse_core import drop_media_spans
+    from extractthinker_spark.schemas import DOCUMENTS_SCHEMA
+
+    rows = [
+        ("d1", [
+            {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+            {"kind": "media", "text": None, "media_ref": "img://1", "offset": 1},
+            {"kind": "text", "text": "b", "media_ref": None, "offset": 2},
+        ]),
+        ("d2", [
+            {"kind": "media", "text": None, "media_ref": "img://2", "offset": 0},
+        ]),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in df.select(
+            "doc_id", drop_media_spans(F.col("spans")).alias("spans")
+        ).collect()
+    }
+    # media spans gone, offsets re-sequenced, media_ref nulled
+    assert got["d1"] == [("text", "a", None, 0), ("text", "b", None, 1)]
+    assert got["d2"] == []

@@ -35,6 +35,7 @@ from extractthinker_spark.operators.dedup import (
 from extractthinker_spark.operators.extract import extract_scalar_fields
 from extractthinker_spark.operators.layout import ordered_block_texts, reading_order
 from extractthinker_spark.operators.parse_core import (
+    parse_json_fields,
     remove_table_lines,
     replace_media_markers,
 )
@@ -633,6 +634,28 @@ def _q_table_line_subtract(spark, sf):
     )
 
 
+def _q_json_extract(spark, sf):
+    """Fenced-JSON extraction from free text (utils.py:479-540): odd
+    orders get a fenced block, even ones a bare object, mod-5 none."""
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    obj = F.concat(
+        F.lit('{"id": '), k.cast("string"),
+        F.lit(', "status": "'), F.col("o_orderstatus"), F.lit('"}'),
+    )
+    txt = (
+        F.when(k % 5 == 0, F.lit("no json here at all"))
+        .when(k % 2 == 1, F.concat(F.lit("prefix\n```json\n"), obj, F.lit("\n```\nsuffix")))
+        .otherwise(F.concat(F.lit("inline "), obj, F.lit(" trailing")))
+    )
+    parsed = parse_json_fields(txt, "id bigint, status string")
+    return o.select(
+        "o_orderkey",
+        parsed["id"].alias("json_id"),
+        parsed["status"].alias("json_status"),
+    )
+
+
 def _q_truncate(spark, sf):
     """Sentence-boundary token-budget truncation (rows-only: the binary
     search is not SQL-expressible)."""
@@ -681,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_cosine_near_dups,
         "media_vertical_slices": _q_media_slices,
         "table_line_subtract": _q_table_line_subtract,
+        "json_extract": _q_json_extract,
         "truncate_token_budget": _q_truncate,
     }
 
@@ -1257,6 +1281,27 @@ def oracle_sql() -> dict[str, str]:
                  x -> NOT list_contains(row_strings, trim(x))),
                  'string_agg', chr(10)) AS cleaned
         FROM b
+    """
+    sql["json_extract"] = r"""
+        WITH t AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN 'no json here at all'
+               WHEN o_orderkey % 2 = 1 THEN
+                 'prefix' || chr(10) || '```json' || chr(10)
+                 || '{"id": ' || o_orderkey || ', "status": "' || o_orderstatus || '"}'
+                 || chr(10) || '```' || chr(10) || 'suffix'
+               ELSE 'inline {"id": ' || o_orderkey || ', "status": "'
+                    || o_orderstatus || '"} trailing' END AS txt
+          FROM orders),
+        j AS (SELECT o_orderkey,
+          CASE WHEN regexp_extract(txt, '```(?:json)?\s*(\{[\s\S]*?\})\s*```', 1) <> ''
+               THEN regexp_extract(txt, '```(?:json)?\s*(\{[\s\S]*?\})\s*```', 1)
+               WHEN regexp_extract(txt, '(\{[^{}]*\})', 1) <> ''
+               THEN regexp_extract(txt, '(\{[^{}]*\})', 1) END AS js
+          FROM t)
+        SELECT o_orderkey,
+               CAST(json_extract(js, '$.id') AS BIGINT) AS json_id,
+               json_extract_string(js, '$.status') AS json_status
+        FROM j
     """
     # simhash_near_dups / ann_topk_lsh (xxhash64-based) and
     # truncate_token_budget (binary-search truncation) are not

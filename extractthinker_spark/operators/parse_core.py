@@ -152,6 +152,25 @@ def remove_table_lines(text: Column, tables: Column, cell_sep: str = " | ") -> C
     return F.array_join(kept, "\n")
 
 
+# Fenced ```json blocks take precedence over a bare {...} object —
+# the reference's extraction order (utils.py:479-540).
+JSON_FENCE_RE = r"```(?:json)?\s*(\{[\s\S]*?\})\s*```"
+JSON_BARE_RE = r"(\{[^{}]*\})"
+
+
+def extract_json_str(text: Column) -> Column:
+    """First JSON object embedded in free text (fenced block preferred),
+    NULL when none — utils.py:200-214/:479-540 semantics."""
+    fenced = F.regexp_extract(text, JSON_FENCE_RE, 1)
+    bare = F.regexp_extract(text, JSON_BARE_RE, 1)
+    return F.when(fenced != "", fenced).when(bare != "", bare)
+
+
+def parse_json_fields(text: Column, schema: str) -> Column:
+    """Extract + parse: struct column per ``schema`` (from_json)."""
+    return F.from_json(extract_json_str(text), schema)
+
+
 def split_paragraphs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """txt-loader semantics: one row per ``\\n\\n``-separated paragraph,
     position preserved (posexplode)."""

@@ -428,12 +428,15 @@ def _q_ann_brute(spark, sf):
 
 
 def _q_ann_lsh(spark, sf):
+    """LSH-bucketed ANN with portable (md5-derived) hyperplanes so the
+    DuckDB oracle rebuilds the identical buckets (value-level check of
+    the full pipeline: signatures -> bucket join -> cosine re-rank)."""
     e = _t(spark, sf, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     q = e.filter(F.col("vec_id") < 20)
-    return ann_topk_lsh(e, q, k=5)
+    return ann_topk_lsh(e, q, k=5, portable=True)
 
 
 def _q_xycut(spark, sf):
@@ -1281,6 +1284,36 @@ def oracle_sql() -> dict[str, str]:
                  x -> NOT list_contains(row_strings, trim(x))),
                  'string_agg', chr(10)) AS cleaned
         FROM b
+    """
+    sql["ann_topk_lsh"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pl AS (SELECT t.t AS tbl, p.p AS pin, t.t * 8 + p.p AS plane
+               FROM unnest(generate_series(0, 3)) AS t(t),
+                    unnest(generate_series(0, 7)) AS p(p)),
+        proj AS (SELECT e.vec_id, pl.tbl, pl.pin,
+               list_reduce(list_transform(generate_series(1, len(e.v)),
+                 i -> e.v[i] * ((((('0x' || substring(md5(pl.plane::VARCHAR
+                      || '_' || (i - 1)::VARCHAR), 1, 15))::BIGINT % 10007)
+                      - 5003)::DOUBLE) / 10007.0)),
+                 (a, b) -> a + b) AS s
+               FROM e, pl),
+        bits AS (SELECT vec_id, tbl, pin,
+               CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM proj),
+        buckets AS (SELECT vec_id, tbl,
+               CAST(sum(bit * (1::BIGINT << (7 - pin))) AS BIGINT) AS bucket
+               FROM bits GROUP BY vec_id, tbl),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+               FROM buckets q JOIN buckets c
+                 ON q.tbl = c.tbl AND q.bucket = c.bucket
+               WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+               round(list_cosine_similarity(eq.v, ec.v), 6) AS cos_sim
+               FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                         JOIN e ec ON ec.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cos_sim, rnk AS rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+          FROM scored) WHERE rnk <= 5
     """
     sql["json_extract"] = r"""
         WITH t AS (SELECT o_orderkey,

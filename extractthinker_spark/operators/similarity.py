@@ -116,18 +116,37 @@ def cosine_near_dups(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int) -> Column:
+def _hyperplane_sign(vec: Column, plane: int, portable: bool = False) -> Column:
     """Sign bit of <vec, h_plane> where h_plane's dim-th component is a
-    deterministic pseudo-gaussian derived from xxhash64(plane, dim) —
-    reproducible on any cluster with zero stored state."""
+    deterministic pseudo-uniform derived from hash(plane, dim) —
+    reproducible on any cluster with zero stored state. ``portable``
+    derives the component from md5 instead of xxhash64 so an ANSI-SQL
+    oracle can rebuild the identical buckets (NOTES.md §8)."""
+
+    def comp(i: Column) -> Column:
+        # Components must be sign-symmetric (~uniform in -1..1) or the
+        # planes cluster in the positive orthant and bucket diversity
+        # collapses. xxhash64 is signed, so % keeps symmetry; the md5
+        # path is non-negative, so it is re-centered explicitly.
+        if portable:
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("_", F.lit(str(plane)), i.cast("string"))
+                        .cast("binary")
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            return ((h % 10007) - 5003).cast("double") / 10007.0
+        return (F.xxhash64(F.lit(plane), i) % 10007).cast("double") / 10007.0
+
     proj = F.aggregate(
         F.zip_with(
             vec,
             F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda v, i: v
-            * (
-                (F.xxhash64(F.lit(plane), i) % 10007).cast("double") / 10007.0
-            ),
+            lambda v, i: v * comp(i),
         ),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
@@ -135,11 +154,15 @@ def _hyperplane_sign(vec: Column, plane: int) -> Column:
     return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket(vec: Column, table: int, planes_per_table: int = 8) -> Column:
+def lsh_bucket(
+    vec: Column, table: int, planes_per_table: int = 8, portable: bool = False
+) -> Column:
     """Bucket id for one hash table: the concatenated sign bits."""
     bits = F.lit(0).cast("long")
     for p in range(planes_per_table):
-        bits = bits * 2 + _hyperplane_sign(vec, table * planes_per_table + p)
+        bits = bits * 2 + _hyperplane_sign(
+            vec, table * planes_per_table + p, portable=portable
+        )
     return bits
 
 
@@ -151,6 +174,7 @@ def ann_topk_lsh(
     k: int = 10,
     tables: int = 4,
     planes_per_table: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table,
     exact cosine re-rank within candidates. Same output schema as
@@ -165,9 +189,10 @@ def ann_topk_lsh(
                     *[
                         F.struct(
                             F.lit(t).alias("table"),
-                            lsh_bucket(F.col(vec_col), t, planes_per_table).alias(
-                                "bucket"
-                            ),
+                            lsh_bucket(
+                                F.col(vec_col), t, planes_per_table,
+                                portable=portable,
+                            ).alias("bucket"),
                         )
                         for t in range(tables)
                     ]

@@ -25,11 +25,14 @@ from extractthinker_spark.functions.textstats import (
     lang_id,
     normalize_ws_sql,
     quality_features,
+    quality_score,
 )
 from extractthinker_spark.operators.chunking import pack_chunks
 from extractthinker_spark.operators.classify import classify_keyword
 from extractthinker_spark.operators.dedup import (
     dedup_minhash,
+    duplicate_groups_exact,
+    ngram_jaccard_pairs,
     simhash_near_dups,
 )
 from extractthinker_spark.operators.extract import extract_scalar_fields
@@ -130,6 +133,29 @@ def _q_quality(spark, sf):
     d = _t(spark, sf, "documents")
     feats = quality_features(F.col("text"))
     return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def _q_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("q_score"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    d = _with_dups(_t(spark, sf, "documents"))
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_dup_groups(spark, sf):
+    d = _with_dups(_t(spark, sf, "documents"))
+    g = duplicate_groups_exact(d, "doc_id", "text")
+    return g.select(
+        "fp",
+        F.array_join(
+            F.transform("members", lambda m: m.cast("string")), ","
+        ).alias("members"),
+        "dup_count",
+    )
 
 
 def _q_langid(spark, sf):
@@ -680,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_normalize": _q_normalize,
         "dedup_exact": _q_dedup_exact,
         "quality_features": _q_quality,
+        "quality_score": _q_quality_score,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dup_groups_exact": _q_dup_groups,
         "lang_id": _q_langid,
         "sessionize_events": _q_sessionize,
         "agg_pricing_summary": _q_pricing,
@@ -992,6 +1021,62 @@ def oracle_sql() -> dict[str, str]:
               ('the','and','of','to','a','in','is','it','for','on'))) AS DOUBLE)
               / len(words), 4) ELSE 0.0 END AS stopword_ratio
         FROM w
+    """
+    sql["quality_score"] = """
+        WITH w AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '[a-z]+') AS words
+          FROM documents),
+        f AS (SELECT doc_id,
+          len(words) AS n_words,
+          CASE WHEN length(text) > 0 THEN
+            round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                  / length(text), 4) ELSE 0.0 END AS punct_ratio,
+          CASE WHEN length(text) > 0 THEN
+            round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                  / length(text), 4) ELSE 0.0 END AS digit_ratio,
+          CASE WHEN len(words) > 0 THEN
+            round(CAST(len(list_filter(words, x -> x IN
+              ('the','and','of','to','a','in','is','it','for','on'))) AS DOUBLE)
+              / len(words), 4) ELSE 0.0 END AS stopword_ratio
+          FROM w)
+        SELECT doc_id, round(
+            (CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN digit_ratio <= 0.3 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN stopword_ratio >= 0.05 THEN 0.25 ELSE 0.0 END), 4)
+          AS q_score
+        FROM f
+    """
+    sql["ngram_jaccard_pairs"] = """
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25),
+        g AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(ws) - 2, 1)),
+                i -> array_to_string(ws[i:i+2], ' '))) AS grams
+              FROM (SELECT doc_id,
+                    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                    FROM all_docs) s),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) AS j
+          FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        SELECT a, b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5
+    """
+    sql["dup_groups_exact"] = f"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25)
+        SELECT md5(lower({_NORM})) AS fp,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members,
+               count(*) AS dup_count
+        FROM all_docs GROUP BY 1 HAVING count(*) > 1
     """
     sql["lang_id"] = _langid_sql()
     sql["sessionize_events"] = """

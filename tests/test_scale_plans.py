@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the plans must stay the plans we designed.
+
+These tests read .explain output — they pin the scale properties
+(shuffle-free co-located joins, partition pruning, pushdown, UDF
+masking) rather than row values.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+from extractthinker_spark.corpus import corpus_spark
+from extractthinker_spark.plans.pipeline import extract_main_content
+from extractthinker_spark.scale.bucketing import colocated_join, write_bucketed
+from extractthinker_spark.scale.checkpoint import CheckpointedRun
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf, old = io.StringIO(), sys.stdout
+    sys.stdout = buf
+    try:
+        df.explain(mode)
+    finally:
+        sys.stdout = old
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    docs = corpus_spark(spark, 200).select("doc_id", F.size("spans").alias("n"))
+    meta = docs.select("doc_id", (F.col("n") * 2).alias("m"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(docs, "t_docs", buckets=8, path=str(tmp_path / "d"))
+        write_bucketed(meta, "t_meta", buckets=8, path=str(tmp_path / "m"))
+        joined = colocated_join(spark, "t_docs", "t_meta")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffles
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_docs")
+        spark.sql("DROP TABLE IF EXISTS t_meta")
+
+
+def test_checkpoint_output_partition_pruning(spark, tmp_path):
+    docs = corpus_spark(spark, 80)
+    run = CheckpointedRun(str(tmp_path / "run"), n_buckets=8, wave_size=8,
+                          input_token="t")
+    run.run(spark, docs, lambda df: extract_main_content(df, nest=True))
+    out = run.read_output(spark).filter(F.col("bucket") == 3)
+    plan = _plan(out)
+    # partition filter reaches the scan: only bucket=3 directories read
+    assert "PartitionFilters" in plan and "bucket" in plan
+    n3 = out.count()
+    total = run.read_output(spark).count()
+    assert 0 < n3 < total
+
+
+def test_pipeline_udf_masked_single_python_node(spark):
+    docs = corpus_spark(spark, 50)
+    plan = _plan(extract_main_content(docs, nest=True), "simple")
+    # exactly one Python boundary (the masked html-strip UDF)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # exactly one shuffle (the re-nest groupBy)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_parquet_scan_prunes_and_pushes(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = d.filter(F.col("doc_id") < 10).select("doc_id", F.length("text").alias("n"))
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+    # column pruning: only doc_id+text in ReadSchema, not lang/source/n_chars
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema

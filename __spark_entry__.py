@@ -65,6 +65,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + repartition to cluster width — for compute-bound stages
+    (dozens of regexes per row). The testdata files are single parquet
+    row groups, which Spark cannot split, so without this the scorer
+    runs on ONE core; at production scale the scan has plenty of
+    partitions and this 2 MB shuffle is noise, while a compute stage
+    that inherits too-coarse scan partitioning is a real 100 TB
+    anti-pattern."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship pipeline on sf0.001 — construct an interleaved corpus
 # from the documents table, run the full extraction pipeline.
@@ -307,7 +320,7 @@ def _synth_class_text():
 
 
 def _q_classify(spark, sf):
-    o = _t(spark, sf, "orders")
+    o = _tp(spark, sf, "orders")
     res = classify_keyword(_synth_class_text())
     return o.select(
         "o_orderkey",
@@ -331,17 +344,25 @@ def _q_classify_consensus(spark, sf):
         layered,
     )
 
-    o = _t(spark, sf, "orders")
-    txt = _synth_class_text()
-    k = classify_keyword(txt)
-    h = classify_header(txt)
-    f = classify_fields(txt)
+    o = _tp(spark, sf, "orders")
+    # Two-stage select: each scorer struct is aliased once and the
+    # strategy expressions reference the alias. A single flat select
+    # would re-inline the full scorer when-chain into all 8 output
+    # columns (measured ~8x slower); CollapseProject keeps the barrier
+    # because the aliases are referenced many times.
+    scored = o.select(
+        "o_orderkey",
+        classify_keyword(_synth_class_text()).alias("k"),
+        classify_header(_synth_class_text()).alias("h"),
+        classify_fields(_synth_class_text()).alias("f"),
+    )
+    k, h, f = F.col("k"), F.col("h"), F.col("f")
     final = layered(
         consensus(k, h, f),
         consensus_with_threshold(8, k, h, f),
         higher_order(k, h, f),
     )
-    return o.select(
+    return scored.select(
         "o_orderkey",
         k["name"].alias("k_name"), k["confidence"].alias("k_conf"),
         h["name"].alias("h_name"), h["confidence"].alias("h_conf"),
@@ -388,7 +409,7 @@ def _q_classify_tree(spark, sf):
     level-2 leaves the level-1 class."""
     from extractthinker_spark.operators.classify import classify_tree
 
-    o = _t(spark, sf, "orders")
+    o = _tp(spark, sf, "orders")
     base = o.select("o_orderkey", _synth_class_text().alias("content"))
     out = classify_tree(base, "content", _TREE, threshold=6)
     return out.select(
@@ -400,7 +421,7 @@ def _q_classify_tree(spark, sf):
 
 
 def _q_extract_fields(spark, sf):
-    o = _t(spark, sf, "orders")
+    o = _tp(spark, sf, "orders")
     base = o.select(
         F.col("o_orderkey").alias("doc_id"),
         _synth_class_text().alias("content"),
@@ -454,15 +475,16 @@ def _q_ann_brute(spark, sf):
 
 
 def _q_ann_lsh(spark, sf):
-    """LSH-bucketed ANN with portable (md5-derived) hyperplanes so the
-    DuckDB oracle rebuilds the identical buckets (value-level check of
-    the full pipeline: signatures -> bucket join -> cosine re-rank)."""
+    """LSH-bucketed ANN. Hyperplanes are md5-derived literal constants
+    (driver-side, see similarity._plane_constants) so the DuckDB oracle
+    rebuilds the identical buckets — value-level check of the full
+    pipeline: signatures -> bucket join -> cosine re-rank."""
     e = _t(spark, sf, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     q = e.filter(F.col("vec_id") < 20)
-    return ann_topk_lsh(e, q, k=5, portable=True)
+    return ann_topk_lsh(e, q, k=5, dim=64)
 
 
 def _q_xycut(spark, sf):
@@ -548,7 +570,7 @@ def _q_field_compare(spark, sf):
 def _q_field_metrics(spark, sf):
     """Per-class P/R/F1 of the rule classifier vs the synthetic truth
     (truth class = o_orderkey % 3 construction)."""
-    o = _t(spark, sf, "orders")
+    o = _tp(spark, sf, "orders")
     truth = (
         F.when(F.col("o_orderkey") % 3 == 0, F.lit("Invoice"))
         .when(F.col("o_orderkey") % 3 == 1, F.lit("Driver License"))
@@ -666,7 +688,7 @@ def _q_table_line_subtract(spark, sf):
 def _q_json_extract(spark, sf):
     """Fenced-JSON extraction from free text (utils.py:479-540): odd
     orders get a fenced block, even ones a bare object, mod-5 none."""
-    o = _t(spark, sf, "orders")
+    o = _tp(spark, sf, "orders")
     k = F.col("o_orderkey")
     obj = F.concat(
         F.lit('{"id": '), k.cast("string"),

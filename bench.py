@@ -84,6 +84,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
     for name in [
         "tokenize_count",
         "quality_features",
+        "quality_score",
         "lang_id",
         "dedup_exact",
         "sessionize_events",
@@ -91,8 +92,17 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "join_topn_customers",
         "chunk_pack",
         "minhash_jaccard_pairs",
+        "simhash_near_dups",
         "ann_topk_brute",
+        "ann_topk_lsh",
         "html_strip",
+        "classify_consensus",
+        "classify_tree",
+        "extract_contract_fields",
+        "eval_field_compare",
+        "eval_hallucination",
+        "json_extract",
+        "xycut_reading_order",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

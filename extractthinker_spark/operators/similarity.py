@@ -199,6 +199,85 @@ def lsh_buckets_arrow(
     return _buckets(vec_col)
 
 
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded KMeans partitions the corpus into
+    ``n_lists`` cells; each query probes its ``n_probe`` nearest
+    centroids and exact-cosine re-ranks within those cells only.
+
+    The scale path: centroid training samples the corpus (KMeans over a
+    DataFrame), assignment is a narrow map, and search touches
+    n_probe/n_lists of the corpus — the standard FAISS-style IVF
+    recall/cost dial. Centroids are tiny and shipped as literals for
+    the query-side probe (broadcast-dimension pattern). Same output
+    schema as brute_force_topk; recall < 1 by design.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list"
+    ).fit(corpus_v)
+    assigned = model.transform(corpus_v).select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("_list").alias("list_id"),
+    )
+
+    # query-side probe: distance to every centroid (literal array),
+    # keep the n_probe nearest cells
+    cents = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), s["c"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            s["list_id"].alias("list_id"),
+        ),
+    )
+    probes = F.slice(F.array_sort(dists), 1, n_probe)
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes).alias("p"),
+    ).select("query_id", "qv", F.col("p.list_id").alias("list_id"))
+
+    scored = (
+        q.join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     if row is None or row["d"] is None:

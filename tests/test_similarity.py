@@ -86,3 +86,31 @@ def test_cosine_near_dups_exact_vs_lsh(spark, vectors):
     # scale path: subset of the exact answer, and the planted pairs
     # (nearly identical vectors) must all collide in some table
     assert lsh == exact
+
+
+def test_ivf_subset_of_brute_and_recall(spark, vectors):
+    from extractthinker_spark.operators.similarity import ann_topk_ivf
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(vectors, queries, k=79).collect()
+    }
+    ivf = ann_topk_ivf(vectors, queries, k=5, n_lists=8, n_probe=3).collect()
+    assert ivf, "IVF returned nothing"
+    for r in ivf:
+        assert (r["query_id"], r["neighbor_id"]) in brute
+        assert abs(brute[(r["query_id"], r["neighbor_id"])] - r["cos_sim"]) < 1e-9
+    # a near-identical planted dup lands in the same KMeans cell as its
+    # seed, so it must be every query's rank-1 neighbor
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in ivf if r["rank"] == 1}
+    assert all(rank1.get(q) == 100 + q for q in range(5))
+
+
+def test_ivf_deterministic(spark, vectors):
+    from extractthinker_spark.operators.similarity import ann_topk_ivf
+
+    queries = vectors.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ann_topk_ivf(vectors, queries, k=5).collect()))
+    b = sorted(map(tuple, ann_topk_ivf(vectors, queries, k=5).collect()))
+    assert a == b

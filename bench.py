@@ -95,6 +95,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "simhash_near_dups",
         "ann_topk_brute",
         "ann_topk_lsh",
+        "ann_topk_ivf",
         "html_strip",
         "classify_consensus",
         "classify_tree",

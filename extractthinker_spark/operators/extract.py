@@ -148,37 +148,62 @@ def paginate_extract(
       scalars — first non-empty value in page order wins;
       lists   — dedupe by value keeping first (page_no, pos), then
                 re-index globally.
+
+    One pass: a scalar IS a list whose merge keeps only index 0 (dedup
+    by value in page order makes index 0 the first non-empty value), so
+    scalar and list entries ride a single explode + two windows. The
+    two-branch formulation scanned the pages input twice and shuffled
+    three times — at corpus scale the extra full scan dominates.
     """
     keys = keys or ["doc_id"]
-    scal = extract_scalar_fields(
-        pages, text_col, contract_col, keys=keys + ["page_no"]
+    entry_t = "array<struct<base:string,pos:int,value:string,is_scalar:boolean>>"
+    scal = F.transform(
+        _scalar_entries(F.col(text_col), F.col(contract_col)),
+        lambda s: F.struct(
+            s["field"].alias("base"),
+            F.lit(-1).alias("pos"),
+            s["value"].alias("value"),
+            F.lit(True).alias("is_scalar"),
+        ),
     )
-    scal_merged = (
-        scal.groupBy(*keys, "contract", "field")
-        .agg(F.min(F.struct("page_no", "value")).alias("first"))
-        .select(*keys, "contract", "field", F.col("first.value").alias("value"))
+    lst = F.transform(
+        _list_entries(F.col(text_col), F.col(contract_col)),
+        lambda s: F.struct(
+            s["field"].alias("base"),
+            s["pos"].alias("pos"),
+            s["value"].alias("value"),
+            F.lit(False).alias("is_scalar"),
+        ),
     )
-
-    entries = _list_entries(F.col(text_col), F.col(contract_col))
+    empty = F.array().cast(entry_t)
+    entries = F.concat(
+        F.coalesce(scal.cast(entry_t), empty), F.coalesce(lst.cast(entry_t), empty)
+    )
     flat = pages.select(
         *keys, "page_no",
         F.col(contract_col).alias("contract"),
         F.explode(entries).alias("e"),
-    ).select(*keys, "page_no", "contract", F.col("e.field").alias("base"),
-             F.col("e.pos").alias("pos"), F.col("e.value").alias("value"))
+    ).select(
+        *keys, "page_no", "contract",
+        F.col("e.base").alias("base"), F.col("e.pos").alias("pos"),
+        F.col("e.value").alias("value"), F.col("e.is_scalar").alias("is_scalar"),
+    ).filter(F.col("value") != "")
     # merge-by-key: first occurrence of each distinct value survives
-    dedup_w = Window.partitionBy(*keys, "contract", "base", "value").orderBy(
+    dedup_w = Window.partitionBy(
+        *keys, "contract", "is_scalar", "base", "value"
+    ).orderBy("page_no", "pos")
+    firsts = flat.withColumn("rn", F.row_number().over(dedup_w)).filter("rn = 1")
+    idx_w = Window.partitionBy(*keys, "contract", "is_scalar", "base").orderBy(
         "page_no", "pos"
     )
-    firsts = flat.withColumn("rn", F.row_number().over(dedup_w)).filter("rn = 1")
-    idx_w = Window.partitionBy(*keys, "contract", "base").orderBy("page_no", "pos")
-    list_merged = firsts.select(
+    indexed = firsts.withColumn("idx", F.row_number().over(idx_w) - 1)
+    return indexed.filter(~F.col("is_scalar") | (F.col("idx") == 0)).select(
         *keys, "contract",
-        F.concat(F.col("base"), F.lit("_"),
-                 (F.row_number().over(idx_w) - 1)).alias("field"),
+        F.when(F.col("is_scalar"), F.col("base")).otherwise(
+            F.concat(F.col("base"), F.lit("_"), F.col("idx"))
+        ).alias("field"),
         "value",
     )
-    return scal_merged.unionByName(list_merged)
 
 
 def fields_to_struct(long_df: DataFrame, fields: list[str]) -> DataFrame:

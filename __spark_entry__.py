@@ -34,6 +34,7 @@ from extractthinker_spark.operators.dedup import (
     duplicate_groups_exact,
     ngram_jaccard_pairs,
     simhash_near_dups,
+    winnow_overlap_pairs,
 )
 from extractthinker_spark.operators.extract import extract_scalar_fields
 from extractthinker_spark.operators.layout import ordered_block_texts, reading_order
@@ -170,6 +171,20 @@ def _q_dup_groups(spark, sf):
         ).alias("members"),
         "dup_count",
     )
+
+
+def _q_winnow(spark, sf):
+    """Winnowed rolling-hash fingerprint overlap (MOSS). Smaller doc
+    universe than _with_dups: the all-pairs DuckDB oracle joins full
+    posting lists."""
+    d = _t(spark, sf, "documents")
+    base = d.filter(F.col("doc_id") < 120).select("doc_id", "text")
+    dd = base.unionByName(
+        base.filter(F.col("doc_id") < 12).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return winnow_overlap_pairs(dd, "doc_id", "text", min_shared=40)
 
 
 def _q_langid(spark, sf):
@@ -744,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dup_groups_exact": _q_dup_groups,
+        "winnow_fingerprint_overlap": _q_winnow,
         "lang_id": _q_langid,
         "sessionize_events": _q_sessionize,
         "agg_pricing_summary": _q_pricing,
@@ -1113,6 +1129,33 @@ def oracle_sql() -> dict[str, str]:
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members,
                count(*) AS dup_count
         FROM all_docs GROUP BY 1 HAVING count(*) > 1
+    """
+    sql["winnow_fingerprint_overlap"] = r"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 120
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 12),
+        n AS (SELECT doc_id,
+              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+              FROM all_docs),
+        h AS (SELECT doc_id,
+              list_transform(
+                generate_series(1, greatest(length(norm) - 7, 1)),
+                i -> list_reduce(
+                       list_transform(generate_series(0, 7),
+                         j -> ord(substring(norm, i + j, 1))::BIGINT),
+                       (a, b) -> (a * 31 + b) % 2147483647)) AS hashes
+              FROM n),
+        w AS (SELECT doc_id,
+              list_sort(list_distinct(list_transform(
+                generate_series(1, greatest(len(hashes) - 3, 1)),
+                i -> list_aggregate(hashes[i:i+3], 'min')))) AS fps
+              FROM h),
+        p AS (SELECT doc_id, unnest(fps) AS f FROM w)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               count(*) AS shared_fps
+        FROM p a JOIN p b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 40
     """
     sql["lang_id"] = _langid_sql()
     sql["sessionize_events"] = """

@@ -251,6 +251,95 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Winnowing (rolling-hash document fingerprints, Schleimer et al. MOSS)
+# --------------------------------------------------------------------------
+
+_WINNOW_BASE = 31
+_WINNOW_MOD = (1 << 31) - 1
+
+
+def _let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE and
+    reference it as a lambda variable inside ``body``. Without this,
+    referencing a Column expression inside a higher-order lambda
+    re-INLINES the whole expression at every lambda evaluation (no CSE
+    across lambda boundaries) — turning O(n) winnowing into O(n^2)."""
+    return F.transform(F.array(bound), body)[0]
+
+
+def rolling_hashes(text: Column, k: int = 8) -> Column:
+    """array<long> of polynomial k-gram hashes over the normalized
+    text: h_i = fold(chars[i..i+k-1], acc*31 + code) mod 2^31-1.
+    Pure Catalyst; every step stays far below long overflow. Identical
+    arithmetic is expressible in ANSI SQL, so fingerprints are
+    cross-engine verifiable."""
+
+    def hashes_of(nm: Column) -> Column:
+        n = F.greatest(F.length(nm) - (k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: (
+                    acc * _WINNOW_BASE
+                    + F.ascii(F.substring(nm, (i + j).cast("int"), 1))
+                ) % _WINNOW_MOD,
+            ),
+        )
+
+    return _let(F.lower(normalize_ws_sql(text)), hashes_of)
+
+
+def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowed fingerprint set: the distinct minima of every
+    ``window`` consecutive k-gram hashes, sorted. Guarantees any shared
+    substring of length >= k + window - 1 contributes a shared
+    fingerprint (the winnowing coverage theorem) while keeping ~1/window
+    of the hashes — the document-fingerprinting dial for plagiarism /
+    near-dup detection at corpus scale."""
+
+    def mins_of(hs: Column) -> Column:
+        n_windows = F.greatest(F.size(hs) - (window - 1), F.lit(1))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hs, i, window)),
+        )
+        return F.array_sort(F.array_distinct(mins))
+
+    return _let(rolling_hashes(text, k), mins_of)
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 10,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowed fingerprints: posting-list
+    bucket join on fingerprint (no O(n^2)), then per-pair shared count
+    filter — same shuffle shape as the MinHash path."""
+    fp = df.select(
+        F.col(key).alias("_k"),
+        winnow_fingerprints(F.col(text_col), k, window).alias("fps"),
+    )
+    posting = fp.select("_k", F.explode("fps").alias("f"))
+    pairs = (
+        posting.alias("l")
+        .join(
+            posting.alias("r"),
+            (F.col("l.f") == F.col("r.f")) & (F.col("l._k") < F.col("r._k")),
+        )
+        .groupBy(F.col("l._k").alias("a"), F.col("r._k").alias("b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -92,3 +92,29 @@ def test_remove_table_lines(spark):
     assert got["d2"] == "keep\nA | B\nalso keep"
     assert got["d3"] == "only\nlines"
     assert got["d4"] == "a\nb"
+
+
+def test_winnowing_coverage_and_letbinding(spark):
+    """Exact duplicates share ALL fingerprints; a doc sharing a long
+    substring shares at least one (winnowing coverage theorem: any
+    common substring of length >= k + window - 1 = 11 yields a shared
+    fingerprint); disjoint text shares none."""
+    from extractthinker_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        ("a", shared),
+        ("b", shared),                                  # exact dup
+        ("c", "PREFIX xyz " + shared + " SUFFIX qq"),   # contains it
+        ("d", "0123456789!@#$%^&*()ZZQQWWEE"),          # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert got["a"] == got["b"] and got["a"]
+    assert got["a"] & got["c"]
+    assert not (got["a"] & got["d"])

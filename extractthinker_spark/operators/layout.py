@@ -137,6 +137,54 @@ def segment_pages(
     )
 
 
+# -- markdown assembly (Docling element-label mapping, S10) -------------------
+# document_loader_docling.py:292-335 maps layout element labels to
+# markdown: TITLE -> '# ', SECTION_HEADER -> '## ', CODE -> fenced,
+# LIST_ITEM -> '- ', TABLE -> markdown table; everything else is a
+# plain paragraph. Pure Catalyst expressions over labeled blocks.
+
+LABELED_BLOCK_SCHEMA = "array<struct<label:string, text:string>>"
+
+
+def labeled_blocks_to_markdown(blocks: Column) -> Column:
+    """array<struct<label,text>> (already in reading order) → one
+    markdown string, blocks separated by blank lines."""
+
+    def one(b: Column) -> Column:
+        label = F.lower(b["label"])
+        t = b["text"]
+        return (
+            F.when(label == "title", F.concat(F.lit("# "), t))
+            .when(label == "section_header", F.concat(F.lit("## "), t))
+            .when(label == "list_item", F.concat(F.lit("- "), t))
+            .when(label == "code", F.concat(F.lit("```\n"), t, F.lit("\n```")))
+            .otherwise(t)
+        )
+
+    return F.array_join(F.transform(blocks, one), "\n\n")
+
+
+def table_to_markdown(table: Column) -> Column:
+    """array<array<string>> (rows of cells) → markdown table: first row
+    is the header, then the |---| separator, then data rows
+    (convert_table_to_text, document_loader_docling.py:337-355)."""
+    row_md = lambda r: F.concat(  # noqa: E731
+        F.lit("| "), F.array_join(r, " | "), F.lit(" |")
+    )
+    header = row_md(F.element_at(table, 1))
+    sep = F.concat(
+        F.lit("|"),
+        F.array_join(
+            F.transform(F.element_at(table, 1), lambda _: F.lit("---")), "|"
+        ),
+        F.lit("|"),
+    )
+    body = F.transform(F.slice(table, 2, F.greatest(F.size(table) - 1, F.lit(0))), row_md)
+    return F.when(F.size(table) == 0, F.lit("")).otherwise(
+        F.array_join(F.concat(F.array(header, sep), body), "\n")
+    )
+
+
 def pages_to_pdf_spans(segmented: DataFrame) -> DataFrame:
     """(doc_id, page_no, page_text) → documents(doc_id, spans) of
     pdf_text spans with the ``\\fPAGE k\\n`` header convention, ordered

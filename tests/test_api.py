@@ -80,3 +80,12 @@ def test_default_registry_shape():
     assert {c.name for c in regs} >= {"Invoice", "Driver License"}
     inv = next(c for c in regs if c.name == "Invoice")
     assert "invoice_number" in (inv.contract or {})
+
+
+def test_facade_error_paths(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Process().classify()
+    with _pt.raises(ValueError):
+        Process().extract()

@@ -128,3 +128,31 @@ def test_hallucination_tiers(spark):
     # 4 scored fields, 1 >= 0.7 -> overall 0.25
     assert agg["n_fields"] == 4 and agg["n_contradicted"] == 1
     assert agg["overall_score"] == 0.25
+
+
+def test_report_assembly(spark):
+    from extractthinker_spark.eval.report import build_report, report_to_markdown
+
+    rows = [
+        ("d1", "f1", "a", "a"),
+        ("d2", "f1", "b", "x"),
+        ("d1", "f2", "1", "1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, field string, expected string, predicted string"
+    )
+    h = spark.createDataFrame(
+        [("d1", "a", "text with a")], "doc_id string, value string, doc_text string"
+    )
+    rep = build_report(
+        "smoke",
+        field_metrics(df),
+        document_accuracy(df),
+        doc_hallucination(h),
+    )
+    assert rep["field_metrics"]["f1"]["tp"] == 1
+    assert rep["field_metrics"]["f2"]["precision"] == 1.0
+    assert rep["documents"]["n_docs"] == 2
+    assert rep["hallucination"]["n_fields"] == 1
+    md = report_to_markdown(rep)
+    assert "# Evaluation: smoke" in md and "| f1 |" in md

@@ -96,3 +96,31 @@ def test_segment_pages_spark(spark):
         for r in segment_pages(pages).collect()
     }
     assert again == got
+
+
+def test_markdown_assembly(spark):
+    from extractthinker_spark.operators.layout import (
+        LABELED_BLOCK_SCHEMA,
+        labeled_blocks_to_markdown,
+        table_to_markdown,
+    )
+
+    blocks = [
+        {"label": "TITLE", "text": "Doc"},
+        {"label": "section_header", "text": "Part"},
+        {"label": "list_item", "text": "one"},
+        {"label": "code", "text": "x = 1"},
+        {"label": "paragraph", "text": "body"},
+    ]
+    df = spark.createDataFrame(
+        [("p1", blocks)], f"page string, blocks {LABELED_BLOCK_SCHEMA}"
+    )
+    md = df.select(labeled_blocks_to_markdown(F.col("blocks")).alias("m")).collect()[0]["m"]
+    assert md == "# Doc\n\n## Part\n\n- one\n\n```\nx = 1\n```\n\nbody"
+
+    t = spark.createDataFrame(
+        [([["h1", "h2"], ["a", "b"], ["c", "d"]],)],
+        "table array<array<string>>",
+    )
+    got = t.select(table_to_markdown(F.col("table")).alias("m")).collect()[0]["m"]
+    assert got == "| h1 | h2 |\n|---|---|\n| a | b |\n| c | d |"

@@ -79,3 +79,21 @@ def test_parquet_scan_prunes_and_pushes(spark):
     # column pruning: only doc_id+text in ReadSchema, not lang/source/n_chars
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_split_extract_shuffle_budget(spark):
+    """The split+extract job must keep its shuffle budget: one exchange
+    for the per-doc windows (split) and two for the merge windows
+    (dedup-by-value, re-index) — regressions to the join-based /
+    two-branch formulations doubled this."""
+    from extractthinker_spark.operators.extract import paginate_extract
+    from extractthinker_spark.operators.split import (
+        pages_from_documents,
+        split_lazy_pages,
+    )
+
+    docs = corpus_spark(spark, 60)
+    grouped = split_lazy_pages(pages_from_documents(docs))
+    out = paginate_extract(grouped, keys=["doc_id"])
+    plan = _plan(out, "simple")
+    assert plan.count("Exchange") <= 3, plan

@@ -1142,8 +1142,10 @@ def oracle_sql() -> dict[str, str]:
               list_transform(
                 generate_series(1, greatest(length(norm) - 7, 1)),
                 i -> list_reduce(
+                       -- chars past the end hash as 0 (Spark ascii('')
+                       -- = 0; DuckDB ord('') = -1 -> clamp)
                        list_transform(generate_series(0, 7),
-                         j -> ord(substring(norm, i + j, 1))::BIGINT),
+                         j -> greatest(ord(substring(norm, i + j, 1)), 0)::BIGINT),
                        (a, b) -> (a * 31 + b) % 2147483647)) AS hashes
               FROM n),
         w AS (SELECT doc_id,

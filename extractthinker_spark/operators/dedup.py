@@ -272,7 +272,9 @@ def rolling_hashes(text: Column, k: int = 8) -> Column:
     text: h_i = fold(chars[i..i+k-1], acc*31 + code) mod 2^31-1.
     Pure Catalyst; every step stays far below long overflow. Identical
     arithmetic is expressible in ANSI SQL, so fingerprints are
-    cross-engine verifiable."""
+    cross-engine verifiable. Spec note: for texts shorter than k the
+    single emitted hash treats missing chars as code 0 (Spark
+    ascii('') = 0; SQL twins must clamp ord('') = -1 up to 0)."""
 
     def hashes_of(nm: Column) -> Column:
         n = F.greatest(F.length(nm) - (k - 1), F.lit(1))

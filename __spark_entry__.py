@@ -54,7 +54,7 @@ from extractthinker_spark.eval.hallucination import hallucination_score
 from extractthinker_spark.eval.metrics import field_metrics
 from extractthinker_spark.operators.media import vertical_slices
 from extractthinker_spark.operators.similarity import (
-    ann_topk_ivf,
+    ann_topk_ivf_portable,
     ann_topk_lsh,
     brute_force_topk,
     cosine_near_dups,
@@ -504,15 +504,21 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_ann_ivf(spark, sf):
-    """IVF ANN (rows-only: seeded KMeans centroid training is not
-    SQL-expressible; subset-of-brute + recall properties are pinned in
-    tests/test_similarity.py instead)."""
+    """IVF ANN with portable deterministic centroids: md5-mod-100
+    sampled training set (60%), key-rank-seeded Lloyd (2 rounds,
+    (d2,list_id) tie-broken argmin, empty cells keep centroids), probe
+    + exact-cosine re-rank — the WHOLE operator, training included, is
+    replayed by the DuckDB oracle (_ivf_sql). The KMeans production
+    path (ann_topk_ivf, seeded-sample fit) stays pinned by
+    tests/test_similarity.py subset-of-brute."""
     e = _t(spark, sf, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     q = e.filter(F.col("vec_id") < 20)
-    return ann_topk_ivf(e, q, k=5, n_lists=16, n_probe=4)
+    return ann_topk_ivf_portable(
+        e, q, k=5, n_lists=16, n_probe=4, iters=2, sample_pct=60
+    )
 
 
 def _q_xycut(spark, sf):
@@ -1036,6 +1042,79 @@ def _extract_fields_sql() -> str:
     """
 
 
+def _ivf_sql(
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    sample_pct: int = 60,
+    dim: int = 64,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of ann_topk_ivf_portable — replays the training too:
+    portable md5 sample, key-rank init, ``iters`` Lloyd rounds, then
+    assignment/probe/re-rank. d2 uses the same index-order fold as the
+    Spark expression; means differ only by summation order (~1e-16,
+    far below the assignment-gap margin)."""
+
+    def d2(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {dim}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "tr AS (SELECT vec_id, v FROM e WHERE"
+        f" ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT % 100"
+        f" < {sample_pct}),",
+        "cnt AS (SELECT count(*) AS n FROM tr),",
+        "rk AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rnk"
+        " FROM tr),",
+        f"c0 AS (SELECT CAST(g.i AS INT) AS list_id, r.v AS c"
+        f" FROM generate_series(0, {n_lists - 1}) g(i) CROSS JOIN cnt"
+        f" JOIN rk r ON r.rnk = (g.i * cnt.n) // {n_lists} + 1),",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts += [
+            f"a{t} AS (SELECT vec_id, v, list_id FROM ("
+            f" SELECT t.vec_id, t.v, c.list_id,"
+            f" row_number() OVER (PARTITION BY t.vec_id ORDER BY"
+            f" {d2('t.v', 'c.c')}, c.list_id) AS rn"
+            f" FROM tr t CROSS JOIN {prev} c) WHERE rn = 1),",
+            f"u{t} AS (SELECT list_id, g.i AS pos, avg(v[g.i]) AS m"
+            f" FROM a{t} CROSS JOIN generate_series(1, {dim}) g(i)"
+            f" GROUP BY list_id, g.i),",
+            f"c{t} AS (SELECT p.list_id, coalesce(nu.c, p.c) AS c"
+            f" FROM {prev} p LEFT JOIN (SELECT list_id,"
+            f" list(m ORDER BY pos) AS c FROM u{t} GROUP BY list_id) nu"
+            f" USING (list_id)),",
+        ]
+    fin = f"c{iters}"
+    parts += [
+        f"asg AS (SELECT vec_id, v, list_id FROM ("
+        f" SELECT e.vec_id, e.v, c.list_id,"
+        f" row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+        f" {d2('e.v', 'c.c')}, c.list_id) AS rn"
+        f" FROM e CROSS JOIN {fin} c) WHERE rn = 1),",
+        f"probe AS (SELECT vec_id AS query_id, v AS qv, list_id FROM ("
+        f" SELECT e.vec_id, e.v, c.list_id,"
+        f" row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+        f" {d2('e.v', 'c.c')}, c.list_id) AS rn"
+        f" FROM e CROSS JOIN {fin} c WHERE e.vec_id < 20)"
+        f" WHERE rn <= {n_probe}),",
+        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,"
+        " round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim"
+        " FROM probe p JOIN asg a USING (list_id)"
+        " WHERE p.query_id <> a.vec_id)",
+        "SELECT query_id, neighbor_id, cos_sim, rnk AS rank FROM ("
+        " SELECT *, CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk"
+        f" FROM scored) WHERE rnk <= {k}",
+    ]
+    return "\n".join(parts)
+
+
 def _tok_sum_sql(expr: str) -> str:
     """Token count of a SQL string expression — list_transform form
     (safe inside recursive CTEs where correlated unnest subqueries are
@@ -1557,4 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         FROM j
     """
     sql["truncate_token_budget"] = _truncate_sql(40)
+    sql["ann_topk_ivf"] = _ivf_sql(
+        n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5
+    )
     return sql

@@ -199,60 +199,62 @@ def lsh_buckets_arrow(
     return _buckets(vec_col)
 
 
-def ann_topk_ivf(
-    corpus: DataFrame,
-    queries: DataFrame,
-    key: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: seeded KMeans partitions the corpus into
-    ``n_lists`` cells; each query probes its ``n_probe`` nearest
-    centroids and exact-cosine re-ranks within those cells only.
-
-    The scale path: centroid training samples the corpus (KMeans over a
-    DataFrame), assignment is a narrow map, and search touches
-    n_probe/n_lists of the corpus — the standard FAISS-style IVF
-    recall/cost dial. Centroids are tiny and shipped as literals for
-    the query-side probe (broadcast-dimension pattern). Same output
-    schema as brute_force_topk; recall < 1 by design.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus_v = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
-    model = KMeans(
-        k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list"
-    ).fit(corpus_v)
-    assigned = model.transform(corpus_v).select(
-        F.col(key).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.col("_list").alias("list_id"),
+def dist2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as a single left fold in index order
+    — the SAME summation order a SQL list_reduce twin uses, so both
+    engines execute the identical sequence of IEEE-double adds."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
     )
 
-    # query-side probe: distance to every centroid (literal array),
-    # keep the n_probe nearest cells
-    cents = [list(map(float, c)) for c in model.clusterCenters()]
-    cent_arr = F.array(
+
+def _cent_literals(cents: list[list[float]]) -> Column:
+    """Centroids as a literal array<struct<d... , list_id>> — the
+    broadcast-dimension pattern (tiny, shipped in the plan)."""
+    return F.array(
         *[
             F.struct(
-                F.lit(i).alias("list_id"),
                 F.array(*[F.lit(x) for x in c]).alias("c"),
+                F.lit(i).alias("list_id"),
             )
             for i, c in enumerate(cents)
         ]
     )
+
+
+def _assign_expr(vec: Column, cent_arr: Column) -> Column:
+    """Nearest-centroid id with a deterministic (d2, list_id) tie-break:
+    array_min over struct<d2,list_id> — a narrow map, no shuffle."""
+    return F.array_min(
+        F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                dist2(vec, s["c"]).alias("d2"), s["list_id"].alias("list_id")
+            ),
+        )
+    )["list_id"]
+
+
+def _ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    key: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF search: per-query probe of the ``n_probe`` nearest
+    cells (centroid literals, (d2, list_id)-ordered), join on list_id,
+    exact-cosine re-rank. Search touches n_probe/n_lists of the corpus
+    — the FAISS recall/cost dial."""
+    cent_arr = _cent_literals(cents)
     dists = F.transform(
         cent_arr,
         lambda s: F.struct(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), s["c"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0).cast("double"),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
+            dist2(F.col(vec_col), s["c"]).alias("d2"),
             s["list_id"].alias("list_id"),
         ),
     )
@@ -276,6 +278,154 @@ def ann_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_rows: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN, production path: seeded KMeans
+    partitions the corpus into ``n_lists`` cells; each query probes its
+    ``n_probe`` nearest centroids and exact-cosine re-ranks within
+    those cells only.
+
+    ``train_rows`` caps the KMeans fit at a seeded sample (FAISS trains
+    IVF on ~256×n_lists vectors; defaults to that) — at 10^9 vectors a
+    full-corpus fit is a multi-pass job over every vector for no recall
+    gain. Assignment of the full corpus is a narrow map either way.
+    Same output schema as brute_force_topk; recall < 1 by design.
+    For a value-level cross-engine-checkable variant see
+    ann_topk_ivf_portable.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if train_rows is None:
+        train_rows = 256 * n_lists
+    train = corpus
+    n = corpus.select(key).count()
+    if n > train_rows:
+        # seeded Bernoulli sample, slightly over-drawn so the fit sees
+        # ~train_rows vectors (exact count is irrelevant to KMeans)
+        train = corpus.sample(min(1.0, 1.1 * train_rows / n), seed=seed)
+    train_v = train.withColumn("_v", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list"
+    ).fit(train_v)
+
+    cents = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_arr = _cent_literals(cents)
+    assigned = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _assign_expr(F.col(vec_col), cent_arr).alias("list_id"),
+    )
+    return _ivf_search(assigned, queries, cents, key, vec_col, k, n_probe)
+
+
+def portable_sample_pred(key_col: Column, pct: int) -> Column:
+    """Deterministic cross-engine sampling predicate: the md5-derived
+    60-bit hash of the stringified key, mod 100 — identical in Spark
+    and ANSI SQL (('0x' || substring(md5(k),1,15))::BIGINT % 100)."""
+    h = F.conv(
+        F.substring(F.md5(key_col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    return (h % 100) < pct
+
+
+def lloyd_centroids_portable(
+    corpus: DataFrame,
+    key: str,
+    vec_col: str,
+    n_lists: int,
+    iters: int = 2,
+    sample_pct: int = 100,
+) -> list[list[float]]:
+    """Deterministic, cross-engine-derivable IVF centroids.
+
+    Init = the ``n_lists`` training vectors at key-ranks floor(i*n/k)
+    (evenly spaced in key order), then ``iters`` Lloyd rounds:
+    assignment by (d2, list_id)-tie-broken argmin, update by per-
+    dimension mean, empty cells keep their previous centroid. Every
+    step is plain arithmetic an ANSI-SQL oracle replays exactly (same
+    fold order for d2; means differ only by float summation order,
+    ~1e-16 — far below the ~1e-5 assignment-gap margin, the same
+    argument as the LSH planes).
+
+    Scale shape: training runs on the ``sample_pct`` portable sample
+    (set it so the sample is ~256×n_lists rows); per-round driver
+    traffic is n_lists×dim doubles (the collected means), never
+    vectors. The global row_number for init runs on the SAMPLE only —
+    a single-partition sort of a bounded set, not the corpus.
+    """
+    train = corpus.select(F.col(key).alias("_k"), F.col(vec_col).alias("v"))
+    if sample_pct < 100:
+        train = train.filter(portable_sample_pred(F.col("_k"), sample_pct))
+    n = train.count()
+    if n < n_lists:
+        raise ValueError(f"training set has {n} rows < n_lists={n_lists}")
+    ranks = sorted({(i * n) // n_lists + 1 for i in range(n_lists)})
+    w = Window.orderBy("_k")
+    init_rows = (
+        train.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk").isin(ranks))
+        .orderBy("rnk")
+        .select("v")
+        .collect()
+    )
+    cents = [list(map(float, r["v"])) for r in init_rows]
+    for _ in range(iters):
+        cent_arr = _cent_literals(cents)
+        assigned = train.select(
+            "v", _assign_expr(F.col("v"), cent_arr).alias("list_id")
+        )
+        means = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_list[i][p] for p in sorted(by_list[i])] if i in by_list else c
+            for i, c in enumerate(cents)
+        ]
+    return cents
+
+
+def ann_topk_ivf_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    sample_pct: int = 100,
+) -> DataFrame:
+    """IVF ANN with portable deterministic centroids — identical search
+    to ann_topk_ivf but trainable by any ANSI engine, so the whole
+    operator (sampling, seeding, Lloyd, assignment, probe, re-rank)
+    gets a value-level DuckDB oracle."""
+    cents = lloyd_centroids_portable(
+        corpus, key, vec_col, n_lists, iters=iters, sample_pct=sample_pct
+    )
+    assigned = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _assign_expr(F.col(vec_col), _cent_literals(cents)).alias("list_id"),
+    )
+    return _ivf_search(assigned, queries, cents, key, vec_col, k, n_probe)
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:

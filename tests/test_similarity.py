@@ -114,3 +114,56 @@ def test_ivf_deterministic(spark, vectors):
     a = sorted(map(tuple, ann_topk_ivf(vectors, queries, k=5).collect()))
     b = sorted(map(tuple, ann_topk_ivf(vectors, queries, k=5).collect()))
     assert a == b
+
+
+def test_ivf_sampled_fit_still_subsets_brute(spark, vectors):
+    """train_rows below the corpus size forces the seeded-sample
+    KMeans fit (the 100 TB path); search quality properties hold."""
+    from extractthinker_spark.operators.similarity import ann_topk_ivf
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vectors, queries, k=79).collect()
+    }
+    ivf = ann_topk_ivf(
+        vectors, queries, k=5, n_lists=4, n_probe=2, train_rows=40
+    ).collect()
+    assert ivf
+    assert all((r["query_id"], r["neighbor_id"]) in brute for r in ivf)
+
+
+def test_ivf_portable_matches_search_properties(spark, vectors):
+    """Portable Lloyd centroids: deterministic across runs, subset of
+    brute, planted dup is rank-1 (dup shares its seed's cell — the
+    vectors are ~identical so every distance agrees to ~1e-3)."""
+    from extractthinker_spark.operators.similarity import (
+        ann_topk_ivf_portable,
+        lloyd_centroids_portable,
+    )
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    out = ann_topk_ivf_portable(
+        vectors, queries, k=5, n_lists=4, n_probe=2, iters=2
+    ).collect()
+    out2 = ann_topk_ivf_portable(
+        vectors, queries, k=5, n_lists=4, n_probe=2, iters=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(vectors, queries, k=79).collect()
+    }
+    assert all((r["query_id"], r["neighbor_id"]) in brute for r in out)
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert all(rank1.get(q) == 100 + q for q in range(5))
+
+    # sampling predicate: 100% == full corpus; <100% shrinks the train set
+    cents_full = lloyd_centroids_portable(
+        vectors, "vec_id", "embedding", n_lists=4, iters=1, sample_pct=100
+    )
+    cents_smpl = lloyd_centroids_portable(
+        vectors, "vec_id", "embedding", n_lists=4, iters=1, sample_pct=50
+    )
+    assert len(cents_full) == len(cents_smpl) == 4
+    assert cents_full != cents_smpl

@@ -56,13 +56,27 @@ class CompletionStrategy(str, Enum):
 @dataclass
 class Classification:
     """Registry entry — models/classification.py:6-17 shape with the
-    LLM judgment replaced by deterministic patterns."""
+    LLM judgment replaced by deterministic patterns.
+
+    ``extraction_contract``, when set, takes precedence over
+    ``contract`` at extraction time (process.py:249-262: a group's
+    extractor uses ``extraction_contract or contract``) — classify with
+    a cheap discriminating contract, extract with a richer one.
+    ``uuid`` identifies the entry in tree classification
+    (process.py:169-181 matches nodes by uuid, names may repeat);
+    defaults to the name."""
 
     name: str
     description: str = ""
     patterns: list[str] = field(default_factory=list)
     contract: dict[str, str] | None = None        # field -> regex(group 1)
     list_contract: dict[str, str] | None = None
+    extraction_contract: dict[str, str] | None = None
+    uuid: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.uuid:
+            self.uuid = self.name
 
 
 def default_classifications() -> list[Classification]:
@@ -86,6 +100,22 @@ class Extractor:
     def _rules(self) -> list[tuple[str, list[str]]]:
         return [(c.name, c.patterns) for c in self.classifications]
 
+    def _contracts(self) -> dict[str, dict[str, str]]:
+        """name -> scalar-field registry, honoring the reference's
+        ``extraction_contract or contract`` precedence."""
+        return {
+            c.name: (c.extraction_contract or c.contract)
+            for c in self.classifications
+            if (c.extraction_contract or c.contract)
+        }
+
+    def _list_contracts(self) -> dict[str, dict[str, str]]:
+        return {
+            c.name: c.list_contract
+            for c in self.classifications
+            if c.list_contract
+        }
+
     def classify(self, df: DataFrame, text_col: str = "content") -> DataFrame:
         """+ (classification, confidence) columns — extractor.py:722-772
         semantics (name match-back is by construction exact here)."""
@@ -99,8 +129,13 @@ class Extractor:
         keys: list[str] | None = None,
     ) -> DataFrame:
         """Long-format (key, contract, field, value) extraction for rows
-        already carrying a ``classification`` column."""
-        return extract_fields(df, text_col=text_col, keys=keys)
+        already carrying a ``classification`` column — against THIS
+        extractor's registry, not the built-ins."""
+        return extract_fields(
+            df, text_col=text_col, keys=keys,
+            contracts=self._contracts(),
+            list_contracts=self._list_contracts(),
+        )
 
 
 class Process:
@@ -127,12 +162,15 @@ class Process:
     # -- split --------------------------------------------------------------
 
     def split(self, strategy: SplitStrategy = SplitStrategy.LAZY) -> Process:
-        """Page-group segmentation; requires pdf_text page spans."""
+        """Page-group segmentation; requires pdf_text page spans. Pages
+        classify against THIS process's registry (the reference splits
+        with the user's classifications, process.py:228-236)."""
+        rules = self.extractor._rules()
         pages = pages_from_documents(self._require_docs())
         if strategy == SplitStrategy.LAZY:
-            self._grouped = split_lazy_pages(pages)
+            self._grouped = split_lazy_pages(pages, rules)
         else:
-            groups = split_eager(pages)
+            groups = split_eager(pages, rules)
             g = groups.select(
                 "doc_id", "group_id", "classification",
                 F.explode("pages").alias("page_no"),
@@ -165,8 +203,13 @@ class Process:
         (doc_id, group_id, contract, field, value)."""
         grouped = self._require_groups()
         keys = ["doc_id", "group_id"]
+        contracts = self.extractor._contracts()
+        list_contracts = self.extractor._list_contracts()
         if completion == CompletionStrategy.PAGINATE:
-            return paginate_extract(grouped, keys=keys)
+            return paginate_extract(
+                grouped, keys=keys,
+                contracts=contracts, list_contracts=list_contracts,
+            )
         whole = grouped.groupBy(*keys, "classification").agg(
             F.array_join(
                 F.transform(
@@ -176,7 +219,10 @@ class Process:
                 "\n\n",
             ).alias("content")
         )
-        return extract_fields(whole, keys=keys)
+        return extract_fields(
+            whole, keys=keys,
+            contracts=contracts, list_contracts=list_contracts,
+        )
 
     # -- internals ------------------------------------------------------------
 

@@ -168,11 +168,17 @@ def classify_tree(
 ) -> DataFrame:
     """Walk a classification tree level by level.
 
-    ``tree`` = {"nodes": [{"name", "patterns", "children": {...}|None}]}.
-    At each level the keyword scorer runs over that level's rules only;
-    descent requires confidence >= threshold. Bounded driver loop over
-    tree depth — each step is a pure expression, no shuffle, no join
-    (the registry is a literal, i.e. already "broadcast").
+    ``tree`` = {"nodes": [{"name", "patterns", "children": {...}|None,
+    "uuid"?}]}. At each level the keyword scorer runs over that level's
+    rules only; descent requires confidence >= threshold. Bounded
+    driver loop over tree depth — each step is a pure expression, no
+    shuffle, no join (the registry is a literal, i.e. already
+    "broadcast").
+
+    Node matching is by ``uuid`` when present (the reference matches
+    tree nodes by classification.uuid, process.py:169-181 — names may
+    repeat across branches), by name otherwise. tree_path/tree_class
+    always carry display NAMES.
 
     Output: df + tree_path (array<string>), tree_class (leaf name),
     tree_confidence.
@@ -190,19 +196,26 @@ def classify_tree(
     while frontiers and depth < 16:
         next_frontiers = []
         for path, nodes in frontiers:
-            rules = [(n["name"], n["patterns"]) for n in nodes]
+            node_key = {id(n): n.get("uuid") or n["name"] for n in nodes}
+            rules = [(node_key[id(n)], n["patterns"]) for n in nodes]
             res = classify_keyword(text, rules)
+            # uuid -> display-name match-back (chained literal whens)
+            disp = F.lit(None).cast("string")
+            for n in nodes:
+                disp = F.when(
+                    res["name"] == node_key[id(n)], F.lit(n["name"])
+                ).otherwise(disp)
             at = F.col("_frontier") == path
             passed = at & (res["confidence"] >= threshold) & (res["name"] != UNKNOWN)
             df = (
                 df.withColumn(
                     "tree_path",
-                    F.when(passed, F.array_append("tree_path", res["name"]))
+                    F.when(passed, F.array_append("tree_path", disp))
                     .otherwise(F.col("tree_path")),
                 )
                 .withColumn(
                     "tree_class",
-                    F.when(passed, res["name"]).otherwise(F.col("tree_class")),
+                    F.when(passed, disp).otherwise(F.col("tree_class")),
                 )
                 .withColumn(
                     "tree_confidence",
@@ -217,11 +230,14 @@ def classify_tree(
                     child_nodes = (
                         children["nodes"] if isinstance(children, dict) else children
                     )
-                    child_path = path + n["name"] + "/"
+                    # frontier paths are keyed by uuid (when present) so
+                    # same-named siblings in different branches cannot
+                    # collide — the uuid-match guarantee
+                    child_path = path + node_key[id(n)] + "/"
                     df = df.withColumn(
                         "_frontier",
                         F.when(
-                            passed & (res["name"] == n["name"]),
+                            passed & (res["name"] == node_key[id(n)]),
                             F.lit(child_path),
                         ).otherwise(F.col("_frontier")),
                     )

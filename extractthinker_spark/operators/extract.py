@@ -27,13 +27,19 @@ from pyspark.sql import Column, DataFrame, Window
 from extractthinker_spark.contracts import CONTRACT_FIELDS, CONTRACT_LIST_FIELDS
 
 
-def _scalar_entries(text: Column, contract: Column) -> Column:
+def _scalar_entries(
+    text: Column, contract: Column, registry: dict[str, dict[str, str]] | None = None
+) -> Column:
     """array<struct<field,value>> of scalar-field extractions for the
     row's contract — a literal when-chain over the registry (the
-    registry is tiny; this is the broadcast-dimension pattern)."""
+    registry is tiny; this is the broadcast-dimension pattern).
+    ``registry`` defaults to the built-in CONTRACT_FIELDS; the API layer
+    passes the user's Classification registry here (the reference picks
+    extraction_contract or contract per group, process.py:249-262)."""
+    registry = registry if registry is not None else CONTRACT_FIELDS
     result = F.lit(None).cast("array<struct<field:string,value:string>>")
     expr = None
-    for name, fields in CONTRACT_FIELDS.items():
+    for name, fields in registry.items():
         arr = F.array(
             *[
                 F.struct(
@@ -54,11 +60,12 @@ def extract_scalar_fields(
     text_col: str = "content",
     contract_col: str = "classification",
     keys: list[str] | None = None,
+    contracts: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """Long-format scalar extraction: one row per (doc, field) with a
     non-empty value. ``keys`` are carried through (default doc_id)."""
     keys = keys or ["doc_id"]
-    entries = _scalar_entries(F.col(text_col), F.col(contract_col))
+    entries = _scalar_entries(F.col(text_col), F.col(contract_col), contracts)
     out = df.select(
         *keys,
         F.col(contract_col).alias("contract"),
@@ -68,8 +75,11 @@ def extract_scalar_fields(
     return out.filter(F.col("value") != "")
 
 
-def _list_entries(text: Column, contract: Column) -> Column:
+def _list_entries(
+    text: Column, contract: Column, registry: dict[str, dict[str, str]] | None = None
+) -> Column:
     """array<struct<field,pos,value>> of list-field extractions."""
+    registry = registry if registry is not None else CONTRACT_LIST_FIELDS
     typ = "array<struct<field:string,pos:int,value:string>>"
 
     def entry_fn(fld):
@@ -80,7 +90,7 @@ def _list_entries(text: Column, contract: Column) -> Column:
         )
 
     expr = None
-    for name, fields in CONTRACT_LIST_FIELDS.items():
+    for name, fields in registry.items():
         per_field = [
             F.transform(
                 F.regexp_extract_all(text, F.lit(pat), F.lit(1)), entry_fn(fld)
@@ -100,11 +110,12 @@ def extract_list_fields(
     text_col: str = "content",
     contract_col: str = "classification",
     keys: list[str] | None = None,
+    list_contracts: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """Long-format list extraction: field names get a global index
     suffix (``country_0``, ``country_1``, …) ordered by occurrence."""
     keys = keys or ["doc_id"]
-    entries = _list_entries(F.col(text_col), F.col(contract_col))
+    entries = _list_entries(F.col(text_col), F.col(contract_col), list_contracts)
     flat = df.select(
         *keys,
         F.col(contract_col).alias("contract"),
@@ -124,10 +135,14 @@ def extract_fields(
     text_col: str = "content",
     contract_col: str = "classification",
     keys: list[str] | None = None,
+    contracts: dict[str, dict[str, str]] | None = None,
+    list_contracts: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """Scalars ∪ lists (unionByName)."""
-    return extract_scalar_fields(df, text_col, contract_col, keys).unionByName(
-        extract_list_fields(df, text_col, contract_col, keys)
+    return extract_scalar_fields(
+        df, text_col, contract_col, keys, contracts
+    ).unionByName(
+        extract_list_fields(df, text_col, contract_col, keys, list_contracts)
     )
 
 
@@ -140,6 +155,8 @@ def paginate_extract(
     text_col: str = "content",
     contract_col: str = "classification",
     keys: list[str] | None = None,
+    contracts: dict[str, dict[str, str]] | None = None,
+    list_contracts: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """PAGINATE strategy: extract per page, merge per document.
 
@@ -158,7 +175,7 @@ def paginate_extract(
     keys = keys or ["doc_id"]
     entry_t = "array<struct<base:string,pos:int,value:string,is_scalar:boolean>>"
     scal = F.transform(
-        _scalar_entries(F.col(text_col), F.col(contract_col)),
+        _scalar_entries(F.col(text_col), F.col(contract_col), contracts),
         lambda s: F.struct(
             s["field"].alias("base"),
             F.lit(-1).alias("pos"),
@@ -167,7 +184,7 @@ def paginate_extract(
         ),
     )
     lst = F.transform(
-        _list_entries(F.col(text_col), F.col(contract_col)),
+        _list_entries(F.col(text_col), F.col(contract_col), list_contracts),
         lambda s: F.struct(
             s["field"].alias("base"),
             s["pos"].alias("pos"),

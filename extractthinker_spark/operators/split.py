@@ -49,16 +49,17 @@ def pages_from_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def split_lazy(pages: DataFrame) -> DataFrame:
+def split_lazy(pages: DataFrame, rules=None) -> DataFrame:
     """Sessionization: boundary where the pair judgment says 'new doc'.
 
     Returns (doc_id, group_id, pages, classification, confidence),
     group_id 1-based in page order, classification = first non-Unknown
     page class in the group (the reference seeds groups with the pair's
-    classification, splitter.py:62-76).
+    classification, splitter.py:62-76). ``rules`` = the user's
+    Classification registry (name, patterns); default built-ins.
     """
     w = Window.partitionBy("doc_id").orderBy("page_no")
-    cls = classify_keyword(F.col("content"))
+    cls = classify_keyword(F.col("content"), rules)
     scored = pages.select(
         "doc_id", "page_no", "content",
         cls["name"].alias("page_class"),
@@ -102,7 +103,7 @@ def split_lazy(pages: DataFrame) -> DataFrame:
     )
 
 
-def split_lazy_pages(pages: DataFrame) -> DataFrame:
+def split_lazy_pages(pages: DataFrame, rules=None) -> DataFrame:
     """Join-free lazy split: page rows annotated with their group.
 
     Returns (doc_id, group_id, classification, page_no, content) — the
@@ -115,7 +116,7 @@ def split_lazy_pages(pages: DataFrame) -> DataFrame:
     same doc_id partitioning, no aggregation needed.
     """
     w = Window.partitionBy("doc_id").orderBy("page_no")
-    cls = classify_keyword(F.col("content"))
+    cls = classify_keyword(F.col("content"), rules)
     scored = pages.select(
         "doc_id", "page_no", "content", cls["name"].alias("page_class")
     )
@@ -164,9 +165,9 @@ _COMPILED_RULES = [
 ]
 
 
-def classify_text_py(text: str) -> tuple[str, int]:
+def classify_text_py(text: str, compiled=None) -> tuple[str, int]:
     best = (UNKNOWN, 1)
-    for name, pats in _COMPILED_RULES:
+    for name, pats in (compiled if compiled is not None else _COMPILED_RULES):
         hits = sum(1 for p in pats if p.search(text or ""))
         conf = confidence_from_hits(hits)
         if conf > best[1] and hits > 0:
@@ -176,13 +177,18 @@ def classify_text_py(text: str) -> tuple[str, int]:
     return best
 
 
-def split_eager(pages: DataFrame) -> DataFrame:
+def split_eager(pages: DataFrame, rules=None) -> DataFrame:
     """Whole-document grouping in one grouped-apply per doc.
 
     Same fold as the reference's aggregate_doc_groups
     (splitter.py:50-93) with the deterministic pair judgment. One
     Arrow batch per document; output identical to split_lazy.
     """
+    compiled = (
+        None
+        if rules is None
+        else [(name, [re.compile(p) for p in pats]) for name, pats in rules]
+    )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("page_no")
@@ -203,15 +209,15 @@ def split_eager(pages: DataFrame) -> DataFrame:
             cur_pages, cur_cls = [], []
 
         prev_name = None
-        for _, row in pdf.iterrows():
-            name, conf = classify_text_py(row["content"])
+        for row in pdf.itertuples():
+            name, conf = classify_text_py(row.content, compiled)
             belongs = prev_name is not None and (
                 name == prev_name or name == UNKNOWN
             )
             if not belongs:
                 close()
                 gid += 1
-            cur_pages.append(int(row["page_no"]))
+            cur_pages.append(int(row.page_no))
             cur_cls.append((name, conf))
             if name != UNKNOWN:
                 prev_name = name

@@ -82,6 +82,94 @@ def test_default_registry_shape():
     assert "invoice_number" in (inv.contract or {})
 
 
+def test_custom_registry_threads_through_split_extract(docs):
+    """Process(custom).split().extract() must classify AND extract with
+    the user registry, never the built-ins (the reference's dummy-object
+    plumbing test, tests/test_process.py:173-264). The custom class
+    matches every invoice page by its own pattern and extracts a field
+    the built-in registry does not know."""
+    classes = [
+        Classification(
+            name="CustomDoc",
+            patterns=[r"(?i)vehicle registration", r"(?i)driver license"],
+            contract={"custom_license": r"License No: (\d+)"},
+        ),
+    ]
+    p = Process(classes).load(docs).split(SplitStrategy.LAZY)
+    groups = p.groups()
+    names = {r["classification"] for r in groups.collect()}
+    assert "CustomDoc" in names
+    assert not names & {"Invoice", "Driver License", "Vehicle Registration"}
+
+    fields = p.extract(CompletionStrategy.PAGINATE)
+    got = {r["field"] for r in fields.collect()}
+    assert got == {"custom_license"}
+    # FORBIDDEN path threads the registry too
+    got_f = {r["field"] for r in p.extract(CompletionStrategy.FORBIDDEN).collect()}
+    assert got_f == {"custom_license"}
+    # eager split agrees with lazy under the custom registry
+    eager = Process(classes).load(docs).split(SplitStrategy.EAGER).groups()
+    key = lambda df: {
+        (r["doc_id"], r["page_no"]): (r["group_id"], r["classification"])
+        for r in df.collect()
+    }
+    assert key(eager) == key(groups)
+
+
+def test_extraction_contract_precedence(docs):
+    """extraction_contract beats contract at extraction time
+    (process.py:249-262)."""
+    classes = [
+        Classification(
+            name="CustomDoc",
+            patterns=[r"(?i)vehicle registration", r"(?i)driver license"],
+            contract={"wrong_field": r"Plate: ([^\n]+)"},
+            extraction_contract={"right_field": r"License No: (\d+)"},
+        ),
+    ]
+    p = Process(classes).load(docs).split()
+    got = {r["field"] for r in p.extract(CompletionStrategy.PAGINATE).collect()}
+    assert got == {"right_field"}
+
+
+def test_tree_uuid_matching(spark):
+    """Same-named leaves under different branches resolve via uuid
+    (process.py:169-181): descent paths cannot collide."""
+    import pyspark.sql.functions as F
+
+    from extractthinker_spark.operators.classify import classify_tree
+
+    tree = {
+        "nodes": [
+            {
+                "name": "Finance", "patterns": [r"(?i)invoice"],
+                "uuid": "u-fin",
+                "children": [
+                    {"name": "Detail", "patterns": [r"(?i)total"],
+                     "uuid": "u-fin-detail", "children": None},
+                ],
+            },
+            {
+                "name": "Identity", "patterns": [r"(?i)license"],
+                "uuid": "u-id",
+                "children": [
+                    {"name": "Detail", "patterns": [r"(?i)age"],
+                     "uuid": "u-id-detail", "children": None},
+                ],
+            },
+        ]
+    }
+    df = spark.createDataFrame(
+        [(1, "Invoice # Total: 12"), (2, "License Age: 44")], "id int, t string"
+    )
+    out = {
+        r["id"]: (r["tree_path"], r["tree_class"])
+        for r in classify_tree(df, "t", tree, threshold=1).collect()
+    }
+    assert out[1] == (["Finance", "Detail"], "Detail")
+    assert out[2] == (["Identity", "Detail"], "Detail")
+
+
 def test_facade_error_paths(spark):
     import pytest as _pt
 

@@ -65,8 +65,12 @@ def sniff_format(b: bytes | None) -> str | None:
         return "webp"
     if b[:5] == b"%PDF-":
         return "pdf"
-    if b[:4] == b"\x00\x00\x00\x18" and b[4:8] == b"ftyp":
-        return "mp4"
+    if b[4:8] == b"ftyp" and len(b) >= 12:
+        # ISO-BMFF: any plausible first-box size (ftyp boxes are
+        # commonly 0x14..0x40 bytes, not only 0x18)
+        box = struct.unpack(">I", b[:4])[0]
+        if 8 <= box <= 4096:
+            return "mp4"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     return "unknown"

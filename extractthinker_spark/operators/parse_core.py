@@ -155,19 +155,30 @@ def remove_table_lines(text: Column, tables: Column, cell_sep: str = " | ") -> C
 # Fenced ```json blocks take precedence over a bare {...} object —
 # the reference's extraction order (utils.py:479-540).
 JSON_FENCE_RE = r"```(?:json)?\s*(\{[\s\S]*?\})\s*```"
-JSON_BARE_RE = r"(\{[^{}]*\})"
+# Bare candidate = first '{' through the FIRST '}' (non-greedy across
+# newlines), exactly the reference's re.search(r'\{.*?\}', DOTALL)
+# (utils.py:200-214). For nested unfenced JSON this candidate is
+# unbalanced, json.loads fails, and the reference returns None —
+# from_json's PERMISSIVE null reproduces that, instead of the previous
+# [^{}] regex which silently grabbed the wrong (innermost) object.
+JSON_BARE_RE = r"(?s)(\{.*?\})"
 
 
 def extract_json_str(text: Column) -> Column:
-    """First JSON object embedded in free text (fenced block preferred),
-    NULL when none — utils.py:200-214/:479-540 semantics."""
+    """Raw JSON candidate embedded in free text (fenced block
+    preferred), NULL when none — the reference's match.group()
+    (utils.py:200-214/:479-540). May be unparseable (unbalanced) for
+    nested bare objects; parse_json_fields turns that into NULL, the
+    loads-or-None step."""
     fenced = F.regexp_extract(text, JSON_FENCE_RE, 1)
     bare = F.regexp_extract(text, JSON_BARE_RE, 1)
     return F.when(fenced != "", fenced).when(bare != "", bare)
 
 
 def parse_json_fields(text: Column, schema: str) -> Column:
-    """Extract + parse: struct column per ``schema`` (from_json)."""
+    """Extract + parse: struct column per ``schema`` (from_json,
+    PERMISSIVE → NULL struct for invalid candidates, matching the
+    reference's json.loads-failure → None)."""
     return F.from_json(extract_json_str(text), schema)
 
 

@@ -15,6 +15,14 @@ At 100 TB this is the continuous-ingest topology: new parquet files
 appear in the landing zone (``maxFilesPerTrigger`` bounds micro-batch
 size), extraction is embarrassingly parallel per document, and the
 only shuffle per micro-batch is the re-nest groupBy.
+
+Exactly-once: the parquet sink writes each micro-batch to its own
+``_batch_id=<id>`` partition directory with dynamic partition
+OVERWRITE, so a batch replayed after a failure between write and
+checkpoint commit overwrites its own output instead of appending a
+duplicate — the idempotent-per-batch-id pattern foreachBatch requires
+(an Iceberg sink gets the same via replacePartitions/overwrite by
+batch filter).
 """
 
 from __future__ import annotations
@@ -56,7 +64,14 @@ def stream_extract(
         out = extract_main_content(batch_df, nest=True).withColumn(
             "_batch_id", F.lit(batch_id)
         )
-        out.write.mode("append").parquet(output_dir)
+        # idempotent on replay: dynamic partition overwrite replaces
+        # ONLY this batch's partition, never appends it twice
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(output_dir)
+        )
 
     writer = (
         stream.writeStream.foreachBatch(sink)

@@ -53,6 +53,11 @@ def test_sniff_and_dimensions():
     assert sniff_format(b"%PDF-1.7 ...") == "pdf"
     assert sniff_format(b"garbage") == "unknown"
     assert sniff_format(None) is None
+    # mp4: any plausible ftyp box size (0x14/0x18/0x1c/0x20 all common)
+    for size in (0x14, 0x18, 0x1C, 0x20):
+        b = struct.pack(">I", size) + b"ftypisom" + b"\x00" * 8
+        assert sniff_format(b) == "mp4", hex(size)
+    assert sniff_format(b"\x00\x00\x00\x00ftypisom....") == "unknown"
     assert parse_dimensions(_png(640, 480)) == (640, 480)
     assert parse_dimensions(_gif(320, 200)) == (320, 200)
     assert parse_dimensions(_jpeg(1024, 768)) == (1024, 768)

@@ -102,3 +102,38 @@ def test_drop_media_spans(spark):
     # media spans gone, offsets re-sequenced, media_ref nulled
     assert got["d1"] == [("text", "a", None, 0), ("text", "b", None, 1)]
     assert got["d2"] == []
+
+
+def test_json_extraction_matches_reference_semantics(spark):
+    """Bare candidate = first '{' to FIRST '}' (utils.py:200-214): flat
+    objects parse; nested unfenced objects yield an unbalanced candidate
+    -> NULL fields (the reference's json.loads failure -> None), never
+    the wrong (innermost) object."""
+    from extractthinker_spark.operators.parse_core import (
+        extract_json_str,
+        parse_json_fields,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 'pre {"a": {"id": 1}} post'),            # nested bare
+            (2, 'inline {"id": 7, "status": "x"} t'),     # flat bare
+            (3, '```json\n{"id": 9, "status": "y"}\n```'),  # fenced wins
+            (4, "no json at all"),
+        ],
+        "i int, t string",
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            extract_json_str(F.col("t")).alias("js"),
+            parse_json_fields(F.col("t"), "id bigint, status string").alias("p"),
+        ).collect()
+    }
+    # nested: candidate is the reference's (unbalanced) match, fields NULL
+    assert out[1]["js"] == '{"a": {"id": 1}'
+    assert out[1]["p"]["id"] is None and out[1]["p"]["status"] is None
+    assert out[2]["p"]["id"] == 7 and out[2]["p"]["status"] == "x"
+    assert out[3]["p"]["id"] == 9
+    assert out[4]["js"] is None and out[4]["p"] is None

@@ -37,12 +37,22 @@ def test_stream_equals_batch_and_resumes(spark, tmp_path):
     assert got == want
 
     # Second drain with the same checkpoint: no new files -> no new rows.
-    n_files_before = len(
-        [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
-    )
+    def parquet_files():
+        return sorted(
+            os.path.join(d, f)
+            for d, _, fs in os.walk(out_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    n_files_before = parquet_files()
     run_stream_once(spark, in_dir, out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == len(want)
-    n_files_after = len(
-        [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
-    )
-    assert n_files_after == n_files_before
+    assert parquet_files() == n_files_before
+
+    # Replayed micro-batch (fresh checkpoint -> batch 0 runs again):
+    # the per-batch-id dynamic partition overwrite makes the sink
+    # idempotent — same rows, no duplicates.
+    run_stream_once(spark, in_dir, out_dir, str(tmp_path / "ckpt2"))
+    assert _span_tuples(spark.read.parquet(out_dir)) == want
+    assert spark.read.parquet(out_dir).count() == len(want)

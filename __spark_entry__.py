@@ -741,6 +741,68 @@ def _q_json_extract(spark, sf):
     )
 
 
+MEDIA_CLASSES = ("Chart", "Photo", "Scan")
+
+
+def _q_classify_media(spark, sf):
+    """Vision-classification analogue (extractor.py:536-607): byte-
+    histogram media features scored one-by-one against md5-derived
+    class signatures, max wins. Media bytes are derived from the text
+    column (ASCII prefix) so the DuckDB oracle rebuilds the identical
+    histogram from ord(char); the Spark side runs the REAL binary path
+    (encode -> mapInPandas numpy histogram)."""
+    from extractthinker_spark.operators.media import classify_media, media_signature
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode(F.substring("text", 1, 200), "utf-8").alias("raw"),
+    )
+    classes = [(n, media_signature(n)) for n in MEDIA_CLASSES]
+    return classify_media(media, classes)
+
+
+def _classify_media_sql() -> str:
+    from extractthinker_spark.operators.media import media_signature
+
+    vals = ", ".join(
+        "('{}', {}, [{}]::DOUBLE[])".format(
+            n, i, ", ".join(repr(x) for x in media_signature(n))
+        )
+        for i, n in enumerate(MEDIA_CLASSES)
+    )
+    fold = "(a, b) -> a + b"
+    return f"""
+        WITH s AS (SELECT doc_id::VARCHAR AS doc_id,
+                          substring(text, 1, 200) AS st FROM documents),
+        c AS (SELECT doc_id, list_transform(generate_series(1, length(st)),
+                     i -> ord(substring(st, i, 1)) % 16) AS cs FROM s),
+        h AS (SELECT doc_id, list_transform(generate_series(0, 15),
+                     b -> CAST(len(list_filter(cs, x -> x = b)) AS DOUBLE))
+                     AS hist FROM c),
+        f AS (SELECT doc_id, CASE WHEN nrm > 0
+                     THEN list_transform(hist, x -> x / nrm) ELSE hist END AS feat
+              FROM (SELECT doc_id, hist,
+                     sqrt(list_reduce(list_transform(hist, x -> x * x), {fold}))
+                       AS nrm FROM h)),
+        cls(name, idx, sig) AS (VALUES {vals}),
+        sc AS (SELECT f.doc_id, cls.name, cls.idx,
+               list_reduce(list_transform(generate_series(1, 16),
+                 i -> f.feat[i] * cls.sig[i]), {fold})
+               / (sqrt(list_reduce(list_transform(f.feat, x -> x * x), {fold}))
+                  * sqrt(list_reduce(list_transform(cls.sig, x -> x * x), {fold})))
+                 AS score
+               FROM f CROSS JOIN cls)
+        SELECT doc_id, name AS media_class,
+          CAST(greatest(1, least(10,
+            CAST(floor((score + 1.0) * 5.0) AS INT) + 1)) AS INT) AS media_conf,
+          round(score, 6) AS media_score
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, idx) AS rn FROM sc)
+        WHERE rn = 1
+    """
+
+
 def _q_truncate(spark, sf):
     """Sentence-boundary token-budget truncation. Value-level oracle:
     the reference's binary search (document_loader_beautiful_soup.py:
@@ -798,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_line_subtract": _q_table_line_subtract,
         "json_extract": _q_json_extract,
         "truncate_token_budget": _q_truncate,
+        "classify_media": _q_classify_media,
     }
 
 
@@ -1636,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         FROM j
     """
     sql["truncate_token_budget"] = _truncate_sql(40)
+    sql["classify_media"] = _classify_media_sql()
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5
     )

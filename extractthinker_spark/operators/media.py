@@ -187,6 +187,72 @@ def media_features(df: DataFrame, raw_col: str = "raw", key: str = "doc_id") -> 
 
 
 # ---------------------------------------------------------------------------
+# Vision classification analogue: per-(doc, class) scoring + argmax.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def media_signature(name: str, dim: int = N_FEATURES) -> list[float]:
+    """Deterministic per-class reference signature (the stand-in for
+    the reference Classification's ``image`` exemplar): md5-derived
+    pseudo-uniform components in (-0.5, 0.5) — identical arithmetic in
+    Python, Spark and ANSI SQL (same construction as the LSH planes,
+    similarity._plane_constants)."""
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{name}_{d}".encode()).hexdigest()[:15], 16)
+        out.append(((h % 10007) - 5003) / 10007.0)
+    return out
+
+
+def classify_media(
+    df: DataFrame,
+    classes: list[tuple[str, list[float]]],
+    raw_col: str = "raw",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Vision classification: score each document's media features
+    against every class signature, keep the max.
+
+    Mirrors the reference's image classification loop
+    (extractor.py:536-607, :579-607): one comparison per class with a
+    reference exemplar, winner = highest confidence, earlier class wins
+    ties (the one-by-one ``>`` scan). The class list is a literal — the
+    broadcast-dimension pattern; scoring is a JVM fold over the feature
+    vector, no shuffle, no join.
+
+    Output: (key, media_class, media_conf 1..10, media_score). The
+    confidence tiering maps cosine [-1,1] -> 1..10 like the reference's
+    LLM confidence scale.
+    """
+    from extractthinker_spark.operators.similarity import cosine
+
+    feats = media_features(df, raw_col=raw_col, key=key)
+    entries = [
+        F.struct(
+            cosine(
+                F.col("features"), F.array(*[F.lit(float(x)) for x in sig])
+            ).alias("score"),
+            F.lit(-idx).alias("negidx"),
+            F.lit(name).alias("name"),
+        )
+        for idx, (name, sig) in enumerate(classes)
+    ]
+    best = F.array_max(F.array(*entries))
+    conf = F.greatest(
+        F.lit(1),
+        F.least(F.lit(10), F.floor((best["score"] + 1.0) * 5.0).cast("int") + 1),
+    )
+    return feats.select(
+        key,
+        best["name"].alias("media_class"),
+        conf.alias("media_conf"),
+        F.round(best["score"], 6).alias("media_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pure-Catalyst media math (reference arithmetic).
 # ---------------------------------------------------------------------------
 

@@ -118,3 +118,46 @@ def test_media_math(spark):
     assert (row["rs"]["width"], row["rs"]["height"]) == (500, 250)
     assert (row["noup"]["width"], row["noup"]["height"]) == (300, 200)
     assert row["fr"] == [0, 3, 6, 9]
+
+
+def test_classify_media_argmax_and_tiebreak(spark):
+    """Vision-classification analogue: winner is the max-cosine class;
+    equal scores resolve to the EARLIER class (the reference's
+    one-by-one '>' scan, extractor.py:594-606); scores match a numpy
+    recomputation of the same histogram features."""
+    import numpy as np
+
+    from extractthinker_spark.operators.media import (
+        N_FEATURES,
+        classify_media,
+        media_signature,
+    )
+
+    rows = [
+        ("d1", _png(64, 48)),
+        ("d2", b"abcdefgh" * 25),
+        ("d3", _jpeg(12, 9)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, raw binary")
+    classes = [(n, media_signature(n)) for n in ("A", "B", "C")]
+    got = {r["doc_id"]: r for r in classify_media(df, classes).collect()}
+
+    for doc_id, raw in rows:
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES).astype(float)
+        feat = hist / np.linalg.norm(hist)
+        scores = [
+            float(np.dot(feat, s) / (np.linalg.norm(feat) * np.linalg.norm(s)))
+            for _, s in classes
+        ]
+        want_idx = int(np.argmax(scores))
+        r = got[doc_id]
+        assert r["media_class"] == classes[want_idx][0]
+        assert abs(r["media_score"] - scores[want_idx]) < 1e-6
+        assert 1 <= r["media_conf"] <= 10
+
+    # duplicate signature -> first class wins the tie
+    dup = [("First", media_signature("Z")), ("Second", media_signature("Z"))]
+    out = {r["doc_id"]: r["media_class"]
+           for r in classify_media(df, dup).collect()}
+    assert set(out.values()) == {"First"}

@@ -741,6 +741,88 @@ def _q_json_extract(spark, sf):
     )
 
 
+# (cycle key, format, leading bytes as (hex_prefix, ascii_filler)) —
+# the constructed-corpus registry shared by the Spark query and the
+# DuckDB oracle. Detection must recover exactly the constructed format.
+RAW_FORMAT_CASES: list[tuple[int, str, str, str]] = [
+    (0, "pdf", "255044462D312E34", ""),
+    (1, "docx", "504B0304", "word/document.xml PK"),
+    (2, "xlsx", "504B0304", "xl/workbook.xml PK"),
+    (3, "zip", "504B0304", "some/entry.bin PK"),
+    (4, "png", "89504E470D0A1A0A", ""),
+    (5, "jpeg", "FFD8FFE000104A46", ""),
+    (6, "gif", "474946383961", ""),
+    (7, "webp", "52494646AA00000057454250", ""),
+    (8, "wav", "52494646BB00000057415645", ""),
+    (9, "mp4", "000000186674797069736F6D", ""),
+    (10, "gz", "1F8B0800", ""),
+    (11, "html", "", "<html><body>"),
+    (12, "json", "", '{"k": 1} '),
+    (13, "txt", "", "plain: "),
+    (14, "unknown", "80FF00", ""),
+]
+
+
+def _q_detect_format_bytes(spark, sf):
+    """Raw-bytes format sniffing (the libmagic-probe stand-in,
+    document_loader.py:49-82 + utils.py:330-477): binaries constructed
+    by cycling doc_id through magic prefixes + text payload; the pure-
+    Catalyst detector must recover the constructed format, and the MIME
+    column comes from the shared extension->MIME registry."""
+    from extractthinker_spark.operators.rawbytes import (
+        detect_format_bytes,
+        mime_for_format,
+    )
+
+    d = _t(spark, sf, "documents")
+    payload = F.encode(F.substring("text", 1, 64), "utf-8")
+    k = F.col("doc_id") % len(RAW_FORMAT_CASES)
+    raw = None
+    for kk, _fmt, hexpre, filler in RAW_FORMAT_CASES:
+        parts = []
+        if hexpre:
+            parts.append(F.unhex(F.lit(hexpre)))
+        if filler:
+            parts.append(F.encode(F.lit(filler), "utf-8"))
+        parts.append(payload)
+        built = F.concat(*parts)
+        raw = F.when(k == kk, built) if raw is None else raw.when(k == kk, built)
+    from extractthinker_spark.operators.dedup import _let
+
+    # _let-bind the detected format: mime_for_format's ~50-branch
+    # when-chain would otherwise re-inline (and re-evaluate) the whole
+    # detection CASE per branch (no CSE across when-branches).
+    pair = _let(
+        detect_format_bytes(raw),
+        lambda f: F.struct(
+            f.alias("format"), mime_for_format(f).alias("mime")
+        ),
+    )
+    return d.select("doc_id", pair["format"].alias("format"),
+                    pair["mime"].alias("mime"))
+
+
+def _detect_format_bytes_sql() -> str:
+    from extractthinker_spark.operators.rawbytes import MIME_TYPE_MAPPING
+
+    fmt_case = " ".join(
+        f"WHEN {k} THEN '{fmt}'" for k, fmt, _h, _f in RAW_FORMAT_CASES
+    )
+    mime_case = " ".join(
+        "WHEN '{}' THEN '{}'".format(ext, mimes[0])
+        for ext, mimes in MIME_TYPE_MAPPING.items()
+    )
+    n = len(RAW_FORMAT_CASES)
+    return f"""
+        WITH f AS (SELECT doc_id,
+               CASE doc_id % {n} {fmt_case} END AS format
+             FROM documents)
+        SELECT doc_id, format,
+               CASE format {mime_case} ELSE NULL END AS mime
+        FROM f
+    """
+
+
 MEDIA_CLASSES = ("Chart", "Photo", "Scan")
 
 
@@ -861,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "truncate_token_budget": _q_truncate,
         "classify_media": _q_classify_media,
+        "detect_format_bytes": _q_detect_format_bytes,
     }
 
 
@@ -1700,6 +1783,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["truncate_token_budget"] = _truncate_sql(40)
     sql["classify_media"] = _classify_media_sql()
+    sql["detect_format_bytes"] = _detect_format_bytes_sql()
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5
     )

@@ -1,0 +1,134 @@
+"""Raw-bytes ingestion: magic sniffing (Catalyst == Python twin) and
+the minimal binary→spans decode path (PDF text objects, docx zip)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from extractthinker_spark.operators.rawbytes import (
+    check_mime_type,
+    decode_docx_pages,
+    decode_pdf_pages,
+    detect_format_bytes,
+    make_fixture_docx,
+    make_fixture_pdf,
+    parse_raw_bytes,
+    sniff_bytes,
+)
+
+CASES: list[tuple[bytes | None, str]] = [
+    (b"%PDF-1.7\nrest", "pdf"),
+    (make_fixture_pdf(["page one"]), "pdf"),
+    (make_fixture_docx(["page one"]), "docx"),
+    (b"PK\x03\x04" + b"xl/workbook.xml rest", "xlsx"),
+    (b"PK\x03\x04" + b"ppt/slides rest", "pptx"),
+    (b"PK\x03\x04" + b"mimetypeapplication/epub+zip", "epub"),
+    (b"PK\x03\x04" + b"anything else", "zip"),
+    (b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "png"),
+    (b"\xff\xd8\xff\xe0\x00\x10JFIF", "jpeg"),
+    (b"GIF89a" + b"\x00" * 10, "gif"),
+    (b"GIF87a" + b"\x00" * 10, "gif"),
+    (b"RIFF\xaa\x00\x00\x00WEBPVP8 ", "webp"),
+    (b"RIFF\xbb\x00\x00\x00WAVEfmt ", "wav"),
+    (b"RIFF\xcc\x00\x00\x00AVI LIST", "avi"),
+    (b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00", "mp4"),
+    (b"\x00\x00\x00\x14ftypqt  \x00\x00\x02\x00", "mov"),
+    (b"\x00\x00\x00\x20ftypM4A \x00\x00\x02\x00", "m4a"),
+    (b"\x1f\x8b\x08\x00" + b"\x00" * 8, "gz"),
+    (b"7z\xbc\xaf\x27\x1c" + b"\x00" * 8, "7z"),
+    (b"Rar!\x1a\x07\x00" + b"\x00" * 8, "rar"),
+    (b"ID3\x04\x00" + b"\x00" * 8, "mp3"),
+    (b"OggS" + b"\x00" * 8, "ogg"),
+    (b"fLaC" + b"\x00" * 8, "flac"),
+    (b"\x1a\x45\xdf\xa3" + b"\x00" * 8, "mkv"),
+    (b"wOF2" + b"\x00" * 8, "woff2"),
+    (b"wOFF" + b"\x00" * 8, "woff"),
+    (b"OTTO" + b"\x00" * 8, "otf"),
+    (b"\x00\x01\x00\x00\x00" + b"\x00" * 8, "ttf"),
+    (b"SQLite format 3\x00" + b"\x00" * 8, "sqlite"),
+    (b"%!PS-Adobe-3.0", "ps"),
+    (b"{\\rtf1\\ansi", "rtf"),
+    (b"<!DOCTYPE html><html>", "html"),
+    (b"  <html lang='en'>", "html"),
+    (b"<?xml version='1.0'?>", "xml"),
+    (b"<svg xmlns='x'>", "svg"),
+    (b'{"k": 1}', "json"),
+    (b"[1, 2, 3]", "json"),
+    (b"plain old text", "txt"),
+    (b"\x80\xff\x00 garbage", "unknown"),
+    (b"", "empty"),
+    (None, "empty"),
+]
+
+
+def test_sniff_python_twin():
+    for b, want in CASES:
+        assert sniff_bytes(b) == want, (b[:16] if b else b, want)
+
+
+def test_sniff_catalyst_equals_python(spark):
+    rows = [(i, b) for i, (b, _) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "i int, raw binary")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select("i", detect_format_bytes(F.col("raw")).alias("f")).collect()
+    }
+    for i, (b, want) in enumerate(CASES):
+        assert got[i] == want, (i, b[:16] if b else b, got[i], want)
+
+
+def test_mime_check():
+    assert check_mime_type("application/pdf", ["pdf", "docx"])
+    assert check_mime_type("image/jpg", ["jpeg"])  # alias list
+    assert not check_mime_type("application/pdf", ["docx"])
+    assert not check_mime_type("made/up", ["pdf"])
+
+
+def test_pdf_docx_golden_decode():
+    pages = ["Invoice #42\nTotal: 99.50", "DRIVER LICENSE\nAge: 33"]
+    assert decode_pdf_pages(make_fixture_pdf(pages)) == pages
+    assert decode_docx_pages(make_fixture_docx(pages)) == pages
+    # escaped parens survive the PDF round-trip
+    assert decode_pdf_pages(make_fixture_pdf(["a (b) c"])) == ["a (b) c"]
+
+
+def test_parse_raw_bytes_end_to_end(spark):
+    """A raw-binary corpus reaches span form: pdf/docx become
+    split-compatible pdf_text pages, html/txt flow to their branches,
+    media formats become media spans."""
+    from extractthinker_spark.operators.split import pages_from_documents
+
+    pages = ["VEHICLE REGISTRATION\nPlate: X", "DRIVER LICENSE\nAge: 9"]
+    rows = [
+        ("p1", make_fixture_pdf(pages)),
+        ("w1", make_fixture_docx(pages)),
+        ("h1", b"<html><body><p>hello</p></body></html>"),
+        ("t1", b"para one\n\npara two"),
+        ("m1", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+        ("e1", b""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, raw binary")
+    out = {r["doc_id"]: r for r in parse_raw_bytes(df).collect()}
+
+    assert out["p1"]["format"] == "pdf" and out["w1"]["format"] == "docx"
+    for key in ("p1", "w1"):
+        sp = out[key]["spans"]
+        assert [s["kind"] for s in sp] == ["pdf_text", "pdf_text"]
+        assert sp[0]["text"] == f"\fPAGE 1\n{pages[0]}"
+        assert sp[1]["text"] == f"\fPAGE 2\n{pages[1]}"
+    assert [s["kind"] for s in out["h1"]["spans"]] == ["html"]
+    assert [s["text"] for s in out["t1"]["spans"]] == ["para one", "para two"]
+    assert out["m1"]["spans"][0]["media_ref"] == "bytes:png"
+    assert out["e1"]["spans"] == []
+
+    # decoded pdf_text pages feed the split pipeline unchanged
+    docs = spark.createDataFrame(
+        [(out["p1"]["doc_id"], out["p1"]["spans"])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got_pages = {
+        (r["doc_id"], r["page_no"]): r["content"]
+        for r in pages_from_documents(docs).collect()
+    }
+    assert got_pages == {("p1", 1): pages[0], ("p1", 2): pages[1]}

@@ -46,6 +46,7 @@ from extractthinker_spark.operators.parse_core import (
 from extractthinker_spark.operators.parse_html import strip_html_udf
 from extractthinker_spark.eval.field_compare import (
     exact_match,
+    exact_match_complex,
     fuzzy_match,
     fuzzy_ratio,
     numeric_match,
@@ -592,12 +593,22 @@ def _q_field_compare(spark, sf):
     )
     e_num = F.col("n_chars").cast("string")
     p_num = (F.col("n_chars") + F.col("doc_id") % 3).cast("string")
+    # complex values: predicted has REORDERED keys (must still match
+    # via sorted-key canonical JSON, field_comparison.py:57-64);
+    # mod-5 rows differ in a value and must not match
+    nc = F.col("n_chars").cast("string")
+    e_json = F.concat(F.lit('{"b": '), nc, F.lit(', "a": "x"}'))
+    p_json = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit('{"a": "y", "b": '), nc, F.lit("}")),
+    ).otherwise(F.concat(F.lit('{"a": "x", "b": '), nc, F.lit("}")))
     return d.select(
         "doc_id",
         exact_match(e_str, p_str).alias("ex_match"),
         fuzzy_ratio(e_str, p_str).alias("fz_ratio"),
         fuzzy_match(e_str, p_str, 0.8).alias("fz_match"),
         numeric_match(e_num, p_num, 0.01).alias("num_match"),
+        exact_match_complex(e_json, p_json).alias("cx_match"),
     )
 
 
@@ -1629,7 +1640,11 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_chars = 0
                     THEN abs(CAST(n_chars + doc_id % 3 AS DOUBLE)) <= 0.01
                     ELSE abs((CAST(n_chars + doc_id % 3 AS DOUBLE) - n_chars)
-                             / n_chars) <= 0.01 END AS num_match
+                             / n_chars) <= 0.01 END AS num_match,
+               -- complex compare: reordered keys canonicalize equal,
+               -- mod-5 rows differ by value (ground truth by
+               -- construction)
+               (doc_id % 5 <> 0) AS cx_match
         FROM r
     """
     cols_m, (gm_m, case_m) = _classify_sql_exprs("t.txt")

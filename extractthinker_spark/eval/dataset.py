@@ -1,0 +1,91 @@
+"""Eval datasets: documents directory + JSON labels → DataFrames.
+
+Spark-native rebuild of the reference's FileSystemDataset
+(/root/reference/extract_thinker/eval/dataset.py:48-120):
+
+  * labels: one JSON file mapping doc_id → {field: expected, ...}
+    (the ``tests/test_data/labels/permanent_labels.json`` shape),
+    loaded driver-side (label files are manifest-sized) and exploded
+    into a long (doc_id, field, expected) DataFrame — the join side of
+    every eval aggregation (metrics.field_metrics);
+  * documents: ``spark.read.format('binaryFile')`` over the directory
+    — the distributed scan; doc_id = file basename, ``content`` feeds
+    operators.rawbytes.parse_raw_bytes for the road into spans;
+  * validation: documents without labels and labels without documents
+    both raise ValueError (dataset.py:90-115 semantics), listing the
+    offenders.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+LABELS_SCHEMA = "doc_id string, field string, expected string"
+
+
+def labels_from_json(spark: SparkSession, labels_path: str) -> DataFrame:
+    """labels JSON → long (doc_id, field, expected) DataFrame.
+
+    Values are stringified the way the eval comparators expect:
+    scalars via str(), complex values via canonical JSON (sorted keys)
+    so they compare correctly under exact_match_complex.
+    """
+    with open(labels_path) as f:
+        labels = json.load(f)
+    rows = []
+    for doc_id, fields in labels.items():
+        for field, value in fields.items():
+            if isinstance(value, (dict, list)):
+                expected = json.dumps(value, sort_keys=True)
+            elif isinstance(value, bool):
+                expected = str(value).lower()
+            elif value is None:
+                expected = None
+            else:
+                expected = str(value)
+            rows.append((doc_id, field, expected))
+    return spark.createDataFrame(rows, LABELS_SCHEMA)
+
+
+def filesystem_dataset(
+    spark: SparkSession,
+    documents_dir: str,
+    labels_path: str,
+    file_pattern: str = "*.*",
+) -> tuple[DataFrame, DataFrame]:
+    """(documents_df, labels_df) for a directory + labels JSON.
+
+    documents_df: (doc_id, source_uri, raw) from the binaryFile source
+    — pipe into parse_raw_bytes for spans. Validation mirrors the
+    reference: every document needs a label and vice versa.
+    """
+    with open(labels_path) as f:
+        labels = json.load(f)
+    paths = sorted(glob.glob(os.path.join(documents_dir, file_pattern)))
+    names = [os.path.basename(p) for p in paths]
+    missing_labels = [n for n in names if n not in labels]
+    if missing_labels:
+        raise ValueError(
+            "Missing labels for documents: " + ", ".join(missing_labels)
+        )
+    missing_docs = [d for d in labels if d not in set(names)]
+    if missing_docs:
+        raise ValueError(
+            "Missing documents for labels: " + ", ".join(missing_docs)
+        )
+    docs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", file_pattern)
+        .load(documents_dir)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("doc_id"),
+            F.col("path").alias("source_uri"),
+            F.col("content").alias("raw"),
+        )
+    )
+    return docs, labels_from_json(spark, labels_path)

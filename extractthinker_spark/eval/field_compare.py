@@ -21,6 +21,9 @@ and inside aggregations (metrics.py).
 
 from __future__ import annotations
 
+import json
+
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -51,6 +54,51 @@ def fuzzy_match(
     return F.when(expected.isNull() & predicted.isNull(), F.lit(True)).when(
         expected.isNull() | predicted.isNull(), F.lit(False)
     ).otherwise(fuzzy_ratio(expected, predicted) >= F.lit(threshold))
+
+
+def _canon_scalar(v):
+    try:
+        o = json.loads(v)
+    except (ValueError, TypeError):
+        return None
+    if isinstance(o, (dict, list)):
+        return json.dumps(o, sort_keys=True)
+    return None
+
+
+_canonical_json_udf = None
+
+
+def canonical_json(col: Column) -> Column:
+    """Sorted-key canonical JSON for complex values, NULL when the
+    value is not a JSON object/array — json.dumps(sort_keys=True)
+    exactly like the reference's complex-value exact compare
+    (field_comparison.py:57-64). Spark's to_json does not sort map
+    keys, hence the (Arrow-batched) UDF; created lazily so importing
+    this module needs no active session."""
+    global _canonical_json_udf
+    if _canonical_json_udf is None:
+
+        @F.pandas_udf("string")
+        def _canon(vals: pd.Series) -> pd.Series:
+            return vals.map(_canon_scalar, na_action="ignore")
+
+        _canonical_json_udf = _canon
+    return _canonical_json_udf(col)
+
+
+def exact_match_complex(expected: Column, predicted: Column) -> Column:
+    """EXACT compare with the reference's complex-value rule: when both
+    sides are JSON objects/arrays, compare their sorted-key canonical
+    serializations (key order irrelevant); otherwise fall back to the
+    trimmed string compare (field_comparison.py:50-64)."""
+    ce, cp = canonical_json(expected), canonical_json(predicted)
+    return (
+        F.when(expected.isNull() & predicted.isNull(), F.lit(True))
+        .when(expected.isNull() | predicted.isNull(), F.lit(False))
+        .when(ce.isNotNull() & cp.isNotNull(), ce == cp)
+        .otherwise(_s(expected) == _s(predicted))
+    )
 
 
 def numeric_match(

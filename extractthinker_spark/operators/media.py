@@ -186,6 +186,12 @@ def media_features(df: DataFrame, raw_col: str = "raw", key: str = "doc_id") -> 
     return df.mapInPandas(batches, schema=schema)
 
 
+def to_base64(raw: Column) -> Column:
+    """Base64 of media bytes (utils.py:16-46 encode_image) — JVM
+    builtin, used when media must embed into a text payload."""
+    return F.base64(raw)
+
+
 # ---------------------------------------------------------------------------
 # Vision classification analogue: per-(doc, class) scoring + argmax.
 # ---------------------------------------------------------------------------

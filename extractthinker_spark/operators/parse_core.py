@@ -43,6 +43,16 @@ def page_number(text: Column) -> Column:
     return F.when(n != "", n.cast("int"))
 
 
+# scheme + non-empty host — urlparse(scheme in http/https, netloc)
+# semantics of the reference's URL predicate (document_loader.py:335-341)
+URL_RE = r"^(?i)https?://[^\s/?#]+"
+
+
+def is_url(source: Column) -> Column:
+    """True when the source string is an http(s) URL."""
+    return source.rlike(URL_RE)
+
+
 def detect_format(kind: Column, text: Column) -> Column:
     """Route spans to a parse branch. Mirrors loader dispatch: explicit
     kind wins; otherwise sniff content (magic-prefix checks)."""

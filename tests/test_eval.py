@@ -156,3 +156,130 @@ def test_report_assembly(spark):
     assert rep["hallucination"]["n_fields"] == 1
     md = report_to_markdown(rep)
     assert "# Evaluation: smoke" in md and "| f1 |" in md
+
+
+def test_exact_match_complex(spark):
+    """Sorted-key canonical compare for complex values; plain strings
+    fall back to trimmed exact (field_comparison.py:50-64)."""
+    import pyspark.sql.functions as F
+
+    from extractthinker_spark.eval.field_compare import exact_match_complex
+
+    rows = [
+        (1, '{"b": 2, "a": 1}', '{"a": 1, "b": 2}', True),     # reorder
+        (2, '{"a": {"y": 2, "x": 1}}', '{"a": {"x": 1, "y": 2}}', True),
+        (3, '[1, 2]', '[1,2]', True),                           # whitespace
+        (4, '{"a": 1}', '{"a": 2}', False),
+        (5, '[1, 2]', '[2, 1]', False),                         # order matters
+        (6, " plain ", "plain", True),                          # str fallback
+        (7, "12", " 12 ", True),                                # scalar JSON -> str
+        (8, None, None, True),
+        (9, '{"a": 1}', None, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, e, p) for i, e, p, _ in rows], "i int, e string, p string"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", exact_match_complex(F.col("e"), F.col("p")).alias("m")
+        ).collect()
+    }
+    for i, _, _, want in rows:
+        assert got[i] == want, i
+
+
+def test_filesystem_dataset_and_labels(spark, tmp_path):
+    """FileSystemDataset semantics (eval/dataset.py:48-120): binaryFile
+    scan + JSON labels, validation both ways, spans via the raw-bytes
+    decoder, and an eval join producing per-field matches."""
+    import json
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from extractthinker_spark.eval.dataset import (
+        filesystem_dataset,
+        labels_from_json,
+    )
+    from extractthinker_spark.eval.field_compare import exact_match
+    from extractthinker_spark.operators.rawbytes import (
+        make_fixture_pdf,
+        parse_raw_bytes,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    (docs_dir / "inv1.pdf").write_bytes(
+        make_fixture_pdf(["Invoice #42\nTotal: 99.50"])
+    )
+    (docs_dir / "note1.txt").write_bytes(b"just a note")
+    labels = {
+        "inv1.pdf": {"invoice_number": "42", "items": [{"q": 1, "p": 2}]},
+        "note1.txt": {"kind": "note"},
+    }
+    labels_path = tmp_path / "labels.json"
+    labels_path.write_text(json.dumps(labels))
+
+    docs, lab = filesystem_dataset(spark, str(docs_dir), str(labels_path))
+    assert {r["doc_id"] for r in docs.collect()} == {"inv1.pdf", "note1.txt"}
+    got_lab = {
+        (r["doc_id"], r["field"]): r["expected"] for r in lab.collect()
+    }
+    assert got_lab[("inv1.pdf", "invoice_number")] == "42"
+    assert got_lab[("inv1.pdf", "items")] == '[{"p": 2, "q": 1}]'  # sorted keys
+
+    # road into spans + an eval join
+    spans = parse_raw_bytes(docs)
+    inv = spans.filter(F.col("format") == "pdf").select(
+        "doc_id",
+        F.regexp_extract(
+            F.col("spans")[0]["text"], r"Invoice #(\d+)", 1
+        ).alias("predicted"),
+    )
+    joined = inv.join(
+        lab.filter(F.col("field") == "invoice_number"), "doc_id"
+    ).select(exact_match(F.col("expected"), F.col("predicted")).alias("m"))
+    assert [r["m"] for r in joined.collect()] == [True]
+
+    # validation: a document without a label
+    (docs_dir / "orphan.txt").write_bytes(b"x")
+    with pytest.raises(ValueError, match="orphan.txt"):
+        filesystem_dataset(spark, str(docs_dir), str(labels_path))
+    (docs_dir / "orphan.txt").unlink()
+    labels["ghost.pdf"] = {"a": 1}
+    labels_path.write_text(json.dumps(labels))
+    with pytest.raises(ValueError, match="ghost.pdf"):
+        filesystem_dataset(spark, str(docs_dir), str(labels_path))
+
+    # labels_from_json alone: bool/None stringification
+    labels_path.write_text(json.dumps({"d": {"b": True, "n": None}}))
+    got = {
+        (r["doc_id"], r["field"]): r["expected"]
+        for r in labels_from_json(spark, str(labels_path)).collect()
+    }
+    assert got[("d", "b")] == "true" and got[("d", "n")] is None
+
+
+def test_url_predicate_and_base64(spark):
+    import pyspark.sql.functions as F
+
+    from extractthinker_spark.operators.media import to_base64
+    from extractthinker_spark.operators.parse_core import is_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a/b", True),
+            (2, "http://host", True),
+            (3, "HTTPS://HOST/x", True),
+            (4, "ftp://host", False),
+            (5, "not a url", False),
+            (6, "https:///nopath", False),
+        ],
+        "i int, s string, want boolean",
+    )
+    bad = df.filter(is_url(F.col("s")) != F.col("want")).count()
+    assert bad == 0
+
+    b = spark.createDataFrame([(b"\x00\x01img",)], "raw binary")
+    assert b.select(to_base64(F.col("raw")).alias("x")).collect()[0]["x"] == "AAFpbWc="

@@ -896,6 +896,57 @@ def _classify_media_sql() -> str:
     """
 
 
+def _q_concat_parts(spark, sf):
+    """CONCATENATE multi-part JSON stitching (concatenation_handler.py:
+    30-97): three parts per order — a fenced opener, a no-marker
+    garbage part (gate-dropped), and a bracket-bearing closer — must
+    stitch in order, clean fences, and parse."""
+    from extractthinker_spark.operators.parse_core import concatenate_parts
+
+    o = _tp(spark, sf, "orders")
+    k = F.col("o_orderkey").cast("string")
+    p0 = F.concat(F.lit('```json\n{"id": '), k, F.lit(", "))
+    p1 = F.lit("no json markers here at all")
+    p2 = F.concat(
+        F.lit('"tags": ['), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit('], "status": "'), F.col("o_orderstatus"), F.lit('"}```'),
+    )
+    parts = o.select(
+        "o_orderkey",
+        F.posexplode(F.array(p0, p1, p2)).alias("part_no", "part"),
+    )
+    out = concatenate_parts(
+        parts, keys=["o_orderkey"],
+        schema="id bigint, tags array<int>, status string",
+    )
+    return out.select(
+        "o_orderkey", "combined_json",
+        F.col("parsed.id").alias("cid"),
+        F.col("parsed.tags")[0].alias("ctag0"),
+        F.col("parsed.status").alias("cstatus"),
+    )
+
+
+def _concat_parts_sql() -> str:
+    clean = (
+        "trim(replace(replace(replace(replace({p}, '```json', ''), "
+        "'```', ''), chr(10) || 'json', ''), chr(10), ' '))"
+    )
+    p0 = """'```json' || chr(10) || '{"id": ' || o_orderkey || ', '"""
+    p2 = """'"tags": [' || (o_orderkey % 3) || '], "status": "'
+            || o_orderstatus || '"}```'"""
+    return f"""
+        WITH c AS (SELECT o_orderkey,
+               {clean.format(p=p0)} || {clean.format(p=p2)} AS combined_json
+             FROM orders)
+        SELECT o_orderkey, combined_json,
+               CAST(json_extract(combined_json, '$.id') AS BIGINT) AS cid,
+               CAST(json_extract(combined_json, '$.tags[0]') AS INT) AS ctag0,
+               json_extract_string(combined_json, '$.status') AS cstatus
+        FROM c
+    """
+
+
 def _q_truncate(spark, sf):
     """Sentence-boundary token-budget truncation. Value-level oracle:
     the reference's binary search (document_loader_beautiful_soup.py:
@@ -955,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_token_budget": _q_truncate,
         "classify_media": _q_classify_media,
         "detect_format_bytes": _q_detect_format_bytes,
+        "concat_parts": _q_concat_parts,
     }
 
 
@@ -1799,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
     sql["truncate_token_budget"] = _truncate_sql(40)
     sql["classify_media"] = _classify_media_sql()
     sql["detect_format_bytes"] = _detect_format_bytes_sql()
+    sql["concat_parts"] = _concat_parts_sql()
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5
     )

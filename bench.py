@@ -83,6 +83,8 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
     qs = entry_mod.queries()
     for name in [
         "tokenize_count",
+        "detect_format_bytes",
+        "classify_media",
         "quality_features",
         "quality_score",
         "lang_id",
@@ -123,5 +125,32 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
     return result
 
 
+def _append_history(result: dict) -> None:
+    """Per-run history so round N+1 can diff per-query timings against
+    round N (the driver only snapshots the latest BENCH_r{N}.json)."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        row = dict(result)
+        row["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        try:
+            import subprocess
+
+            row["git"] = (
+                subprocess.run(
+                    ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                ).stdout.strip() or None
+            )
+        except Exception:
+            row["git"] = None
+        with open(os.path.join(here, "BENCH", "history.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+    except OSError:
+        pass  # history is best-effort; never fail the bench
+
+
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    res = run_bench()
+    _append_history(res)
+    print(json.dumps(res))

@@ -192,6 +192,69 @@ def parse_json_fields(text: Column, schema: str) -> Column:
     return F.from_json(extract_json_str(text), schema)
 
 
+# ---------------------------------------------------------------------------
+# CONCATENATE completion strategy: multi-part JSON stitching.
+# ---------------------------------------------------------------------------
+
+def is_json_continuation(part: Column) -> Column:
+    """The reference's continuation gate (concatenation_handler.py:
+    14-27): a part counts as JSON-bearing iff it contains ```json, '{'
+    or '['."""
+    return (
+        part.contains("```json") | part.contains("{") | part.contains("[")
+    )
+
+
+def clean_json_part(part: Column) -> Column:
+    """Per-part cleanup, exactly the reference's replace chain
+    (concatenation_handler.py:66-76): drop ```json fences, stray
+    ``` and '\\njson' artifacts, newlines → spaces, trim."""
+    s = F.replace(part, F.lit("```json"), F.lit(""))
+    s = F.replace(s, F.lit("```"), F.lit(""))
+    s = F.replace(s, F.lit("\njson"), F.lit(""))
+    s = F.replace(s, F.lit("\n"), F.lit(" "))
+    return F.trim(s)
+
+
+def concatenate_parts(
+    df: DataFrame,
+    keys: list[str],
+    part_col: str = "part",
+    order_col: str = "part_no",
+    schema: str | None = None,
+) -> DataFrame:
+    """CONCATENATE strategy (concatenation_handler.py:30-97) as one
+    aggregation: per document, keep JSON-bearing parts, clean each,
+    join in part order with '' and parse once.
+
+    The reference accumulates parts across LLM continuation calls; a
+    deterministic engine has all parts up front, so the retry loop
+    collapses into filter → sort → join → from_json (NULL ``parsed``
+    is the json.loads-failure path). One shuffle on the keys.
+    """
+    cleaned = F.when(
+        is_json_continuation(F.col(part_col)), clean_json_part(F.col(part_col))
+    )
+    per_doc = df.select(
+        *keys, F.struct(F.col(order_col).alias("o"), cleaned.alias("c")).alias("e")
+    ).groupBy(*keys).agg(
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda s: s["c"]
+                ),
+                lambda c: c.isNotNull() & (c != ""),
+            ),
+            "",
+        ).alias("combined_json")
+    )
+    if schema is not None:
+        per_doc = per_doc.withColumn(
+            "parsed", F.from_json("combined_json", schema)
+        )
+    return per_doc
+
+
 def split_paragraphs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """txt-loader semantics: one row per ``\\n\\n``-separated paragraph,
     position preserved (posexplode)."""

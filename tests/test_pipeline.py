@@ -137,3 +137,38 @@ def test_json_extraction_matches_reference_semantics(spark):
     assert out[2]["p"]["id"] == 7 and out[2]["p"]["status"] == "x"
     assert out[3]["p"]["id"] == 9
     assert out[4]["js"] is None and out[4]["p"] is None
+
+
+def test_concatenate_parts_stitching(spark):
+    """CONCATENATE strategy (concatenation_handler.py:30-97): parts
+    filtered by the JSON-continuation gate, cleaned of fences, joined
+    in part order, parsed once; unparseable combinations yield NULL
+    parsed (the json.loads-failure path)."""
+    from extractthinker_spark.operators.parse_core import concatenate_parts
+
+    rows = [
+        # doc a: fenced opener + garbage (dropped) + closer
+        ("a", 0, '```json\n{"x": 1, '),
+        ("a", 1, "plain text, no markers"),
+        ("a", 2, '"y": [2]}\n```'),
+        # doc b: parts arrive out of order in the input
+        ("b", 1, '"y": [9]}```'),
+        ("b", 0, '```json{"x": 8, '),
+        # doc c: only garbage -> empty combined, NULL parsed
+        ("c", 0, "nothing here"),
+        # doc d: markers but malformed JSON -> NULL parsed
+        ("d", 0, "{broken"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, part_no int, part string")
+    out = {
+        r["doc_id"]: r
+        for r in concatenate_parts(
+            df, keys=["doc_id"], schema="x bigint, y array<int>"
+        ).collect()
+    }
+    assert out["a"]["combined_json"] == '{"x": 1,"y": [2]}'
+    assert out["a"]["parsed"]["x"] == 1 and out["a"]["parsed"]["y"] == [2]
+    assert out["b"]["parsed"]["x"] == 8 and out["b"]["parsed"]["y"] == [9]
+    assert out["c"]["combined_json"] == ""
+    assert out["c"]["parsed"] is None or out["c"]["parsed"]["x"] is None
+    assert out["d"]["parsed"] is None or out["d"]["parsed"]["x"] is None

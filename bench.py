@@ -10,6 +10,11 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   input dir            (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local parallelism    (default 32)
   BENCH_CORPUS_DOCS    synthetic corpus size (default 24000)
+  BENCH_RUNS           runs per query, min reported (default 2 — this
+                       sandbox shows 4-10x CPU-steal noise windows and
+                       first runs pay whole-stage-codegen JIT, so a
+                       single sample routinely misreports a 2s query
+                       as 10s; min-of-k is the standard correction)
 
 Scaling evidence (N vs 4N) is produced by scripts/bench_scaling.py →
 BENCH/BASELINE.md, not here (two full JVMs per run is too heavy for
@@ -52,24 +57,26 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
     spark = get_spark("bench", master=master or f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # Flagship: synthetic interleaved corpus → full extraction pipeline.
     docs = corpus_spark(spark, n_docs).persist()
     n_input = docs.count()  # materialize corpus outside the timed region
 
-    t0 = time.time()
     out = extract_main_content(docs, nest=True)
-    _force(out)
-    extract_sec = time.time() - t0
+    timed("pipeline_extract", lambda: _force(out))
     n_out = out.count()
-    timings["pipeline_extract"] = round(extract_sec, 3)
-    docs_per_sec = round(n_input / extract_sec, 1)
+    docs_per_sec = round(n_input / timings["pipeline_extract"], 1)
 
     # Split + paginate-extract over the corpus' multi-page documents.
     def split_extract():
@@ -111,7 +118,9 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "total headline seconds (lower=better); docs_per_sec = flagship extraction throughput",
+        "metric": f"total headline seconds, min of {runs} runs/query "
+                  "(lower=better); docs_per_sec = flagship extraction "
+                  "throughput",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -896,6 +896,88 @@ def _classify_media_sql() -> str:
     """
 
 
+def _q_parse_raw_spans(spark, sf):
+    """Binary->spans decode path, value-level: PDF bytes constructed
+    from the text column (parens/backslashes stripped so no escaping
+    ambiguity), decoded by the REAL Arrow mapInPandas parser
+    (rawbytes.parse_raw_bytes); the oracle emits the by-construction
+    page contents. Pins magic sniff, BT/ET block split, Tj string
+    extraction, page numbering, and the \\fPAGE header convention."""
+    from extractthinker_spark.operators.parse_core import strip_page_header
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    d = _t(spark, sf, "documents")
+    line1 = F.regexp_replace(F.substring("text", 1, 40), r"[()\\]", "")
+    line2 = F.concat(
+        F.lit("tail: "),
+        F.regexp_replace(F.substring("text", 41, 40), r"[()\\]", ""),
+    )
+    pdfb = F.encode(
+        F.concat(
+            F.lit("%PDF-1.4\nBT\n("), line1, F.lit(") Tj\nET\nBT\n("),
+            line2, F.lit(") Tj\nET\n%%EOF"),
+        ),
+        "utf-8",
+    )
+    raw = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                   pdfb.alias("raw"))
+    parsed = parse_raw_bytes(raw)
+    return parsed.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s.offset") + 1).alias("page_no"),
+        strip_page_header(F.col("s.text")).alias("content"),
+    )
+
+
+_PARSE_RAW_SQL = r"""
+    WITH l AS (SELECT doc_id::VARCHAR AS doc_id,
+           regexp_replace(substring(text, 1, 40), '[()\\]', '', 'g') AS l1,
+           'tail: ' || regexp_replace(substring(text, 41, 40),
+                                      '[()\\]', '', 'g') AS l2
+         FROM documents)
+    SELECT doc_id, 1 AS page_no, l1 AS content FROM l
+    UNION ALL
+    SELECT doc_id, 2 AS page_no, l2 AS content FROM l
+"""
+
+
+def _q_media_meta_dims(spark, sf):
+    """Header-level media metadata, value-level: minimal PNG bytes
+    (signature + IHDR) with width/height derived from doc_id; the REAL
+    mapInPandas header parser must recover them. The oracle emits the
+    constructed values."""
+    from extractthinker_spark.operators.media import media_meta
+
+    d = _t(spark, sf, "documents")
+    w = (100 + F.col("doc_id") % 900).cast("int")
+    h = (50 + F.col("doc_id") % 500).cast("int")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),     # signature
+        F.unhex(F.lit("0000000D49484452")),     # IHDR length + type
+        be32(w), be32(h),
+    )
+    raw = d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                   png.alias("raw"))
+    return media_meta(raw).select(
+        "doc_id", "media_format", "width", "height", "n_bytes"
+    )
+
+
+_MEDIA_META_SQL = """
+    SELECT doc_id::VARCHAR AS doc_id, 'png' AS media_format,
+           CAST(100 + doc_id % 900 AS INT) AS width,
+           CAST(50 + doc_id % 500 AS INT) AS height,
+           CAST(24 AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
 def _q_concat_parts(spark, sf):
     """CONCATENATE multi-part JSON stitching (concatenation_handler.py:
     30-97): three parts per order — a fenced opener, a no-marker
@@ -1007,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_media": _q_classify_media,
         "detect_format_bytes": _q_detect_format_bytes,
         "concat_parts": _q_concat_parts,
+        "parse_raw_spans": _q_parse_raw_spans,
+        "media_meta_dims": _q_media_meta_dims,
     }
 
 
@@ -1852,6 +1936,8 @@ def oracle_sql() -> dict[str, str]:
     sql["classify_media"] = _classify_media_sql()
     sql["detect_format_bytes"] = _detect_format_bytes_sql()
     sql["concat_parts"] = _concat_parts_sql()
+    sql["parse_raw_spans"] = _PARSE_RAW_SQL
+    sql["media_meta_dims"] = _MEDIA_META_SQL
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5
     )

@@ -177,3 +177,31 @@ def test_facade_error_paths(spark):
         Process().classify()
     with _pt.raises(ValueError):
         Process().extract()
+
+
+def test_load_raw_pipeline(spark):
+    """Raw binary corpus -> sniff/decode -> split -> extract, through
+    the facade (the reference's file-path entry, Spark-native)."""
+    from extractthinker_spark.operators.rawbytes import make_fixture_pdf
+
+    pages = [
+        "VEHICLE REGISTRATION\nName Primary: A B\nPlate: XYZ-1",
+        "DRIVER LICENSE\nName: B, C\nAge: 41\nLicense No: 123",
+    ]
+    raw = spark.createDataFrame(
+        [("r1", make_fixture_pdf(pages))], "doc_id string, raw binary"
+    )
+    p = Process().load_raw(raw).split(SplitStrategy.LAZY)
+    got = {
+        (r["doc_id"], r["page_no"]): r["classification"]
+        for r in p.groups().collect()
+    }
+    assert got == {
+        ("r1", 1): "Vehicle Registration",
+        ("r1", 2): "Driver License",
+    }
+    fields = {
+        (r["field"]): r["value"]
+        for r in p.extract(CompletionStrategy.PAGINATE).collect()
+    }
+    assert fields["license_number"] == "123" and fields["plate"] == "XYZ-1"

@@ -97,3 +97,37 @@ def test_split_extract_shuffle_budget(spark):
     out = paginate_extract(grouped, keys=["doc_id"])
     plan = _plan(out, "simple")
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_detect_format_bytes_plan_is_jvm_only(spark):
+    """Raw-bytes sniffing must stay a narrow codegen'd map: no
+    Exchange, no Python evaluation node in the plan."""
+    from extractthinker_spark.operators.rawbytes import detect_format_bytes
+
+    df = spark.createDataFrame([("a", b"%PDF-x")], "doc_id string, raw binary")
+    plan = _plan(df.select("doc_id", detect_format_bytes(F.col("raw")).alias("f")))
+    assert "Exchange" not in plan, plan
+    # no Python EVALUATION nodes (the local-data scan's
+    # applySchemaToPythonRDD description is not one)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_classify_media_plan_single_python_stage_no_shuffle(spark):
+    """Vision classification = one Arrow mapInPandas (features) + JVM
+    scoring expressions; the class dim is a literal, so no join and no
+    shuffle appear."""
+    from extractthinker_spark.operators.media import (
+        classify_media,
+        media_signature,
+    )
+
+    df = spark.createDataFrame([("a", b"\x01\x02")], "doc_id string, raw binary")
+    classes = [(n, media_signature(n)) for n in ("X", "Y")]
+    plan = _plan(classify_media(df, classes))
+    assert "Exchange" not in plan, plan
+    # exactly one Python stage (the feature extractor); scoring/argmax
+    # are JVM expressions. "formatted" prints each node in the tree AND
+    # the detail list, so count the detail headers.
+    assert plan.count("MapInPandas (") == 1, plan
+    assert "Join" not in plan, plan

@@ -340,8 +340,67 @@ def decode_docx_pages(b: bytes) -> list[str]:
     return pages
 
 
+_SHEET_NAME_RE = re.compile(r"<sheet[^>]*\sname=\"([^\"]*)\"")
+_ROW_RE = re.compile(r"<row[^>]*>(.*?)</row>", re.DOTALL)
+_CELL_RE = re.compile(r"<c\b([^>]*)>(.*?)</c>", re.DOTALL)
+_T_ATTR_RE = re.compile(r"\bt=\"([^\"]*)\"")
+_IS_T_RE = re.compile(r"<t[^>]*>(.*?)</t>", re.DOTALL)
+_V_RE = re.compile(r"<v>(.*?)</v>", re.DOTALL)
+_SI_RE = re.compile(r"<si>(.*?)</si>", re.DOTALL)
+
+
+def decode_xlsx_sheets(b: bytes) -> list[tuple[str, str]]:
+    """(sheet_name, content) pages from an xlsx zip — the spreadsheet
+    loader's semantics (document_loader_spreadsheet.py:55-111): one
+    page per sheet, each row's cells joined with ' | ' (empty cells
+    keep their placeholder), all-empty rows skipped, rows joined with
+    newlines. Deterministic subset: sheets are read as
+    xl/worksheets/sheet{i}.xml in workbook.xml name order (no r:id
+    indirection); cells handle inlineStr, shared strings (t="s") and
+    plain <v> values. openpyxl slots into the same UDF when present.
+    """
+    with zipfile.ZipFile(BytesIO(b)) as z:
+        wb = z.read("xl/workbook.xml").decode("utf-8")
+        names = _SHEET_NAME_RE.findall(wb)
+        try:
+            ss_xml = z.read("xl/sharedStrings.xml").decode("utf-8")
+            shared = [
+                (_IS_T_RE.search(si) or [None, ""])[1]
+                for si in _SI_RE.findall(ss_xml)
+            ]
+        except KeyError:
+            shared = []
+        pages = []
+        for i, name in enumerate(names):
+            xml = z.read(f"xl/worksheets/sheet{i + 1}.xml").decode("utf-8")
+            rows = []
+            for row_xml in _ROW_RE.findall(xml):
+                cells = []
+                for attrs, body in _CELL_RE.findall(row_xml):
+                    t = _T_ATTR_RE.search(attrs)
+                    t = t.group(1) if t else None
+                    if t == "inlineStr":
+                        m = _IS_T_RE.search(body)
+                        cells.append(m.group(1) if m else "")
+                    elif t == "s":
+                        m = _V_RE.search(body)
+                        idx = int(m.group(1)) if m else -1
+                        cells.append(
+                            shared[idx] if 0 <= idx < len(shared) else ""
+                        )
+                    else:
+                        m = _V_RE.search(body)
+                        cells.append(m.group(1) if m else "")
+                if any(cells):
+                    rows.append(" | ".join(cells))
+            pages.append((name, "\n".join(rows)))
+        return pages
+
+
 _SPANS_T = ("array<struct<kind:string,text:string,media_ref:string,"
             "offset:int>>")
+# sheet pages carry their name in a header, like \fPAGE for pdf pages
+SHEET_HEADER = "\fSHEET {name}\n"
 
 
 def parse_raw_bytes(
@@ -380,6 +439,12 @@ def parse_raw_bytes(
         elif fmt == "docx":
             for i, page in enumerate(decode_docx_pages(b)):
                 out.append(span("pdf_text", f"\fPAGE {i + 1}\n{page}", None, i))
+        elif fmt == "xlsx":
+            for i, (name, content) in enumerate(decode_xlsx_sheets(b)):
+                out.append(
+                    span("table", SHEET_HEADER.format(name=name) + content,
+                         None, i)
+                )
         elif fmt == "html":
             out.append(span("html", b.decode("utf-8", "replace"), None, 0))
         elif fmt in ("txt", "json", "xml", "svg"):
@@ -417,6 +482,35 @@ def make_fixture_pdf(pages: list[str]) -> bytes:
             + "\nET\n"
         ).encode("latin-1")
     return body + b"%%EOF\n"
+
+
+def make_fixture_xlsx(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
+    """Deterministic in-memory xlsx (real zip, inlineStr cells)."""
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        names = "".join(
+            f'<sheet name="{n}" sheetId="{i + 1}"/>'
+            for i, (n, _) in enumerate(sheets)
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f"<workbook><sheets>{names}</sheets></workbook>",
+        )
+        for i, (_, rows) in enumerate(sheets):
+            row_xml = "".join(
+                "<row>"
+                + "".join(
+                    f'<c t="inlineStr"><is><t>{c}</t></is></c>' for c in row
+                )
+                + "</row>"
+                for row in rows
+            )
+            z.writestr(
+                f"xl/worksheets/sheet{i + 1}.xml",
+                f"<worksheet><sheetData>{row_xml}</sheetData></worksheet>",
+            )
+    return buf.getvalue()
 
 
 def make_fixture_docx(pages: list[str]) -> bytes:

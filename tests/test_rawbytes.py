@@ -132,3 +132,34 @@ def test_parse_raw_bytes_end_to_end(spark):
         for r in pages_from_documents(docs).collect()
     }
     assert got_pages == {("p1", 1): pages[0], ("p1", 2): pages[1]}
+
+
+def test_xlsx_golden_decode(spark):
+    """Spreadsheet loader semantics (document_loader_spreadsheet.py:
+    55-111): one page per sheet, ' | '-joined rows keeping empty-cell
+    placeholders, all-empty rows skipped."""
+    from extractthinker_spark.operators.rawbytes import (
+        decode_xlsx_sheets,
+        make_fixture_xlsx,
+    )
+
+    b = make_fixture_xlsx(
+        [
+            ("Budget", [["Income", "100"], ["", ""], ["Expense", "", "60"]]),
+            ("Notes", [["only one cell"]]),
+        ]
+    )
+    assert sniff_bytes(b) == "xlsx"
+    assert decode_xlsx_sheets(b) == [
+        ("Budget", "Income | 100\nExpense |  | 60"),
+        ("Notes", "only one cell"),
+    ]
+
+    df = spark.createDataFrame([("x1", b)], "doc_id string, raw binary")
+    out = parse_raw_bytes(df).collect()[0]
+    assert out["format"] == "xlsx"
+    assert [s["kind"] for s in out["spans"]] == ["table", "table"]
+    assert out["spans"][0]["text"] == (
+        "\fSHEET Budget\nIncome | 100\nExpense |  | 60"
+    )
+    assert out["spans"][1]["text"] == "\fSHEET Notes\nonly one cell"

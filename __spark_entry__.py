@@ -127,12 +127,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_tokenize(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     return d.select("doc_id", count_tokens(F.col("text")).alias("n_tokens"))
 
 
 def _q_normalize(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     return d.select("doc_id", normalize_ws_sql(F.col("text")).alias("norm_text"))
 
 
@@ -146,13 +146,13 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_quality(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     feats = quality_features(F.col("text"))
     return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 
 def _q_quality_score(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     return d.select("doc_id", quality_score(F.col("text")).alias("q_score"))
 
 
@@ -189,7 +189,7 @@ def _q_winnow(spark, sf):
 
 
 def _q_langid(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -518,7 +518,8 @@ def _q_ann_ivf(spark, sf):
     )
     q = e.filter(F.col("vec_id") < 20)
     return ann_topk_ivf_portable(
-        e, q, k=5, n_lists=16, n_probe=4, iters=2, sample_pct=60
+        e, q, k=5, n_lists=16, n_probe=4, iters=2, sample_pct=60,
+        impl="arrow",
     )
 
 
@@ -553,7 +554,7 @@ def _q_xycut(spark, sf):
 
 
 def _q_html_strip(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     html = F.concat(
         F.lit('<html><head><script>var x=1;</script></head><body>'
               '<nav>Home | About</nav><article><p>'),
@@ -583,7 +584,7 @@ def _q_cost_metrics(spark, sf):
 def _q_field_compare(spark, sf):
     """exact / fuzzy / numeric comparisons over deterministic
     (expected, predicted) pairs built from the documents table."""
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     e_str = F.substring(norm, 1, 30)
     p_str = (
@@ -633,7 +634,7 @@ def _q_field_metrics(spark, sf):
 def _q_hallucination(spark, sf):
     """Tiered hallucination scores over values constructed to hit each
     tier deterministically from the document text."""
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     words = F.split(norm, " ")
     v = (
@@ -785,7 +786,7 @@ def _q_detect_format_bytes(spark, sf):
         mime_for_format,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     payload = F.encode(F.substring("text", 1, 64), "utf-8")
     k = F.col("doc_id") % len(RAW_FORMAT_CASES)
     raw = None
@@ -846,7 +847,7 @@ def _q_classify_media(spark, sf):
     (encode -> mapInPandas numpy histogram)."""
     from extractthinker_spark.operators.media import classify_media, media_signature
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     media = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.encode(F.substring("text", 1, 200), "utf-8").alias("raw"),
@@ -906,7 +907,7 @@ def _q_parse_raw_spans(spark, sf):
     from extractthinker_spark.operators.parse_core import strip_page_header
     from extractthinker_spark.operators.rawbytes import parse_raw_bytes
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     line1 = F.regexp_replace(F.substring("text", 1, 40), r"[()\\]", "")
     line2 = F.concat(
         F.lit("tail: "),
@@ -950,7 +951,7 @@ def _q_media_meta_dims(spark, sf):
     constructed values."""
     from extractthinker_spark.operators.media import media_meta
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     w = (100 + F.col("doc_id") % 900).cast("int")
     h = (50 + F.col("doc_id") % 500).cast("int")
 
@@ -1042,7 +1043,7 @@ def _q_truncate(spark, sf):
             lambda t: truncate_to_token_limit(t, 40), na_action="ignore"
         )
 
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     return d.select("doc_id", _trunc(F.col("text")).alias("truncated"))
 
 

@@ -237,6 +237,55 @@ def _assign_expr(vec: Column, cent_arr: Column) -> Column:
     )["list_id"]
 
 
+def _assign_arrow(vec_col: Column, cents: list[list[float]]) -> Column:
+    """Nearest-centroid id via one numpy distance matrix per Arrow
+    batch — the scale path for assignment (the expression fold is an
+    interpreted per-(row, centroid, dim) lambda; measured the same ~20x
+    gap as the LSH signatures). numpy argmin takes the FIRST minimum,
+    i.e. the same (d2, list_id) tie-break as the expr path. Selection
+    only: output cos_sim values still come from the JVM fold over the
+    original vectors, so they stay bit-equal to the SQL oracle (the
+    LSH-signature precedent; distance reordering noise ~1e-15 vs
+    assignment gaps ~1e-5)."""
+    C = np.asarray(cents, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        out = []
+        ok = vs.notna()
+        if ok.any():
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vs[ok]])
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            it = iter(d2.argmin(axis=1))
+        return pd.Series(
+            [int(next(it)) if o else None for o in ok], dtype="Int32"
+        )
+
+    return _assign(vec_col)
+
+
+def _probe_arrow(vec_col: Column, cents: list[list[float]], n_probe: int) -> Column:
+    """The n_probe nearest centroid ids per query, (d2, list_id)-
+    ordered (stable argsort), as array<int> — numpy twin of the
+    slice(array_sort(...)) probe."""
+    C = np.asarray(cents, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        out = []
+        ok = vs.notna()
+        if ok.any():
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vs[ok]])
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            it = iter(idx)
+        return pd.Series(
+            [[int(x) for x in next(it)] if o else None for o in ok]
+        )
+
+    return _probe(vec_col)
+
+
 def _ivf_search(
     assigned: DataFrame,
     queries: DataFrame,
@@ -245,25 +294,36 @@ def _ivf_search(
     vec_col: str,
     k: int,
     n_probe: int,
+    impl: str = "expr",
 ) -> DataFrame:
     """Shared IVF search: per-query probe of the ``n_probe`` nearest
-    cells (centroid literals, (d2, list_id)-ordered), join on list_id,
-    exact-cosine re-rank. Search touches n_probe/n_lists of the corpus
-    — the FAISS recall/cost dial."""
-    cent_arr = _cent_literals(cents)
-    dists = F.transform(
-        cent_arr,
-        lambda s: F.struct(
-            dist2(F.col(vec_col), s["c"]).alias("d2"),
-            s["list_id"].alias("list_id"),
-        ),
-    )
-    probes = F.slice(F.array_sort(dists), 1, n_probe)
-    q = queries.select(
-        F.col(key).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(probes).alias("p"),
-    ).select("query_id", "qv", F.col("p.list_id").alias("list_id"))
+    cells ((d2, list_id)-ordered), join on list_id, exact-cosine
+    re-rank. Search touches n_probe/n_lists of the corpus — the FAISS
+    recall/cost dial. ``impl='arrow'`` selects probes with numpy (scale
+    path); 'expr' is the pure-Catalyst cross-engine parity spec."""
+    if impl == "arrow":
+        q = queries.select(
+            F.col(key).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                _probe_arrow(F.col(vec_col), cents, n_probe)
+            ).alias("list_id"),
+        )
+    else:
+        cent_arr = _cent_literals(cents)
+        dists = F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                dist2(F.col(vec_col), s["c"]).alias("d2"),
+                s["list_id"].alias("list_id"),
+            ),
+        )
+        probes = F.slice(F.array_sort(dists), 1, n_probe)
+        q = queries.select(
+            F.col(key).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probes).alias("p"),
+        ).select("query_id", "qv", F.col("p.list_id").alias("list_id"))
 
     scored = (
         q.join(assigned, "list_id")
@@ -321,13 +381,14 @@ def ann_topk_ivf(
     ).fit(train_v)
 
     cents = [list(map(float, c)) for c in model.clusterCenters()]
-    cent_arr = _cent_literals(cents)
     assigned = corpus.select(
         F.col(key).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _assign_expr(F.col(vec_col), cent_arr).alias("list_id"),
+        _assign_arrow(F.col(vec_col), cents).alias("list_id"),
     )
-    return _ivf_search(assigned, queries, cents, key, vec_col, k, n_probe)
+    return _ivf_search(
+        assigned, queries, cents, key, vec_col, k, n_probe, impl="arrow"
+    )
 
 
 def portable_sample_pred(key_col: Column, pct: int) -> Column:
@@ -347,6 +408,7 @@ def lloyd_centroids_portable(
     n_lists: int,
     iters: int = 2,
     sample_pct: int = 100,
+    impl: str = "expr",
 ) -> list[list[float]]:
     """Deterministic, cross-engine-derivable IVF centroids.
 
@@ -382,10 +444,11 @@ def lloyd_centroids_portable(
     )
     cents = [list(map(float, r["v"])) for r in init_rows]
     for _ in range(iters):
-        cent_arr = _cent_literals(cents)
-        assigned = train.select(
-            "v", _assign_expr(F.col("v"), cent_arr).alias("list_id")
-        )
+        if impl == "arrow":
+            assign = _assign_arrow(F.col("v"), cents)
+        else:
+            assign = _assign_expr(F.col("v"), _cent_literals(cents))
+        assigned = train.select("v", assign.alias("list_id"))
         means = (
             assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("list_id", "pos")
@@ -412,20 +475,31 @@ def ann_topk_ivf_portable(
     n_probe: int = 4,
     iters: int = 2,
     sample_pct: int = 100,
+    impl: str = "expr",
 ) -> DataFrame:
     """IVF ANN with portable deterministic centroids — identical search
     to ann_topk_ivf but trainable by any ANSI engine, so the whole
     operator (sampling, seeding, Lloyd, assignment, probe, re-rank)
-    gets a value-level DuckDB oracle."""
+    gets a value-level DuckDB oracle. ``impl='arrow'`` switches the
+    assignment/probe SELECTION to numpy batches (~20x the interpreted
+    lambda fold) while cos_sim values stay on the JVM fold — the same
+    split the LSH path uses, pinned by the oracle every round."""
     cents = lloyd_centroids_portable(
-        corpus, key, vec_col, n_lists, iters=iters, sample_pct=sample_pct
+        corpus, key, vec_col, n_lists, iters=iters, sample_pct=sample_pct,
+        impl=impl,
     )
+    if impl == "arrow":
+        assign = _assign_arrow(F.col(vec_col), cents)
+    else:
+        assign = _assign_expr(F.col(vec_col), _cent_literals(cents))
     assigned = corpus.select(
         F.col(key).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _assign_expr(F.col(vec_col), _cent_literals(cents)).alias("list_id"),
+        assign.alias("list_id"),
     )
-    return _ivf_search(assigned, queries, cents, key, vec_col, k, n_probe)
+    return _ivf_search(
+        assigned, queries, cents, key, vec_col, k, n_probe, impl=impl
+    )
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:

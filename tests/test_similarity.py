@@ -167,3 +167,17 @@ def test_ivf_portable_matches_search_properties(spark, vectors):
     )
     assert len(cents_full) == len(cents_smpl) == 4
     assert cents_full != cents_smpl
+
+
+def test_ivf_portable_arrow_equals_expr(spark, vectors):
+    """The numpy selection path must return exactly what the
+    pure-Catalyst parity spec returns (assignment gaps ~1e-5 dwarf
+    float reordering noise; cos values share the same JVM fold)."""
+    from extractthinker_spark.operators.similarity import ann_topk_ivf_portable
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ann_topk_ivf_portable(
+        vectors, queries, k=5, n_lists=4, n_probe=2, impl="expr").collect()))
+    b = sorted(map(tuple, ann_topk_ivf_portable(
+        vectors, queries, k=5, n_lists=4, n_probe=2, impl="arrow").collect()))
+    assert a == b

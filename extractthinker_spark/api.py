@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from enum import Enum
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from extractthinker_spark.contracts import (
     CLASS_RULES,
@@ -51,6 +51,14 @@ class SplitStrategy(str, Enum):
 class CompletionStrategy(str, Enum):
     FORBIDDEN = "forbidden"   # whole-document extraction
     PAGINATE = "paginate"     # per-page partial + merge
+
+
+class ClassificationStrategy(str, Enum):
+    """process.py:95-125 gates, applied per extractor layer."""
+
+    CONSENSUS = "consensus"
+    HIGHER_ORDER = "higher_order"
+    CONSENSUS_WITH_THRESHOLD = "consensus_with_threshold"
 
 
 @dataclass
@@ -92,10 +100,32 @@ def default_classifications() -> list[Classification]:
 
 
 class Extractor:
-    """Single-document-path operations (reference Extractor)."""
+    """Single-document-path operations (reference Extractor).
 
-    def __init__(self, classifications: list[Classification] | None = None):
+    ``scorer`` picks this extractor's deterministic judgment
+    ('keyword' | 'header' | 'fields') — the stand-in for the
+    reference's per-extractor LLM choice when extractors are layered
+    for consensus classification."""
+
+    def __init__(
+        self,
+        classifications: list[Classification] | None = None,
+        scorer: str = "keyword",
+    ):
         self.classifications = classifications or default_classifications()
+        self.scorer = scorer
+
+    def _score(self, text: Column) -> Column:
+        from extractthinker_spark.operators.classify import (
+            classify_fields,
+            classify_header,
+        )
+
+        if self.scorer == "header":
+            return classify_header(text, self._rules())
+        if self.scorer == "fields":
+            return classify_fields(text, self._contracts())
+        return classify_keyword(text, self._rules())
 
     def _rules(self) -> list[tuple[str, list[str]]]:
         return [(c.name, c.patterns) for c in self.classifications]
@@ -146,6 +176,17 @@ class Process:
         self.extractor = Extractor(classifications)
         self._documents: DataFrame | None = None
         self._grouped: DataFrame | None = None
+        self._layers: list[list[Extractor]] = []
+
+    def add_classify_extractor(
+        self, layers: list[list[Extractor]]
+    ) -> Process:
+        """Extractor layers for strategy classification — the
+        reference's process.add_classify_extractor (process.py:65-72):
+        each inner list is one layer; layers are tried in order until a
+        strategy gate passes."""
+        self._layers = layers
+        return self
 
     # -- loading ------------------------------------------------------------
 
@@ -197,14 +238,52 @@ class Process:
 
     # -- classify / extract ---------------------------------------------------
 
-    def classify(self, text_col: str = "content") -> DataFrame:
+    def classify(
+        self,
+        text_col: str = "content",
+        strategy: ClassificationStrategy | None = None,
+        threshold: int = 9,
+    ) -> DataFrame:
         """Whole-document classification (no split): parse first, then
         classify the merged MAIN content — raw html boilerplate (nav
         bars full of '|', footers) must not feed the rule scorer, just
-        as the reference classifies loader output, never raw bytes."""
+        as the reference classifies loader output, never raw bytes.
+
+        With ``strategy`` + layers from add_classify_extractor, each
+        layer's scorers run as parallel COLUMNS and the strategy gate
+        (consensus / max-confidence / consensus∧threshold) picks the
+        layer result; layers fall through in order, exhausted rows get
+        Unknown/1 (process.py:95-125; the reference raises instead —
+        at corpus scale a failed row must stay a row, not kill a job).
+        """
+        from extractthinker_spark.operators.classify import (
+            consensus,
+            consensus_with_threshold,
+            higher_order,
+            layered,
+        )
+
         merged = doc_text(self.extract_content(nest=True))
-        return self.extractor.classify(merged, text_col=text_col).select(
-            "doc_id", "classification", "confidence"
+        if strategy is None or not self._layers:
+            return self.extractor.classify(merged, text_col=text_col).select(
+                "doc_id", "classification", "confidence"
+            )
+        layer_exprs = []
+        for layer in self._layers:
+            results = [e._score(F.col(text_col)) for e in layer]
+            if strategy == ClassificationStrategy.CONSENSUS:
+                layer_exprs.append(consensus(*results))
+            elif strategy == ClassificationStrategy.HIGHER_ORDER:
+                layer_exprs.append(higher_order(*results))
+            else:
+                layer_exprs.append(
+                    consensus_with_threshold(threshold, *results)
+                )
+        res = layered(*layer_exprs)
+        return merged.select(
+            "doc_id",
+            res["name"].alias("classification"),
+            res["confidence"].alias("confidence"),
         )
 
     def extract(

@@ -388,6 +388,57 @@ def winnow_fingerprints(text: Column, k: int = 8, window: int = 4) -> Column:
     return _let(rolling_hashes(text, k), mins_of)
 
 
+import re as _re
+
+import numpy as np
+import pandas as pd
+
+# Python twin of normalize_ws_sql (trim + \s+ -> ' '): re.ASCII keeps
+# \s == Java's default ASCII \s so the twin matches the JVM expression.
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+
+def winnow_fingerprints_arrow(
+    text_col: Column, k: int = 8, window: int = 4
+) -> Column:
+    """numpy twin of winnow_fingerprints — EXACTLY equal output (the
+    whole computation is integer arithmetic mod 2^31-1: Horner rolling
+    hash as a sliding-window dot product with precomputed powers, max
+    term ~3e16 << 2^63, then windowed min + sorted distinct). The
+    interpreted per-character lambda fold is the hot loop of the
+    Catalyst formulation; one Arrow batch replaces it with three numpy
+    ops per document. Use for production scans; the expression form
+    stays as the cross-engine parity spec."""
+    powers = np.array(
+        [pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)],
+        dtype=np.int64,
+    )
+
+    def fps_of(text: str | None) -> list[int]:
+        norm = _WS_RE.sub(" ", text or "").strip().lower()
+        # codepoints without a per-char python loop
+        codes = np.frombuffer(
+            norm.encode("utf-32-le"), dtype="<u4"
+        ).astype(np.int64)
+        if len(codes) < k:
+            codes = np.pad(codes, (0, k - len(codes)))
+        wins = np.lib.stride_tricks.sliding_window_view(codes, k)
+        hashes = (wins * powers).sum(axis=1) % _WINNOW_MOD
+        if len(hashes) >= window:
+            mins = np.lib.stride_tricks.sliding_window_view(
+                hashes, window
+            ).min(axis=1)
+        else:
+            mins = hashes.min(keepdims=True)
+        return [int(x) for x in np.unique(mins)]
+
+    @F.pandas_udf("array<long>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        return pd.Series([fps_of(t) for t in texts])
+
+    return _fps(text_col)
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     key: str,
@@ -396,6 +447,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 10,
     max_doc_freq: int = 1000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by shared winnowed fingerprints: posting-list
     bucket join on fingerprint (no O(n^2)), then per-pair shared count
@@ -407,10 +459,17 @@ def winnow_overlap_pairs(
     quadratic bucket. Dropping it lowers each affected pair's
     shared_fps by at most the number of hot fingerprints, a bounded,
     documented coverage loss (true heavy-overlap pairs share many
-    low-frequency fingerprints too)."""
+    low-frequency fingerprints too).
+
+    ``impl='arrow'`` (default) computes fingerprints with the numpy
+    twin — integer-exact, so results are IDENTICAL to the Catalyst
+    form (pinned by test + the DuckDB oracle)."""
+    fingerprint_of = (
+        winnow_fingerprints_arrow if impl == "arrow" else winnow_fingerprints
+    )
     fp = df.select(
         F.col(key).alias("_k"),
-        winnow_fingerprints(F.col(text_col), k, window).alias("fps"),
+        fingerprint_of(F.col(text_col), k, window).alias("fps"),
     )
     posting = cap_posting_df(
         fp.select("_k", F.explode("fps").alias("f")), "f", max_doc_freq

@@ -118,3 +118,33 @@ def test_winnowing_coverage_and_letbinding(spark):
     assert got["a"] == got["b"] and got["a"]
     assert got["a"] & got["c"]
     assert not (got["a"] & got["d"])
+
+
+def test_winnow_arrow_equals_expr(spark):
+    """The numpy winnowing twin is integer arithmetic mod 2^31-1, so
+    its fingerprints must be IDENTICAL to the Catalyst fold on any
+    input (not merely within a float margin)."""
+    from extractthinker_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+
+    texts = [
+        "",
+        "a",
+        "short",
+        "exactly8",
+        "The quick brown fox jumps over the lazy dog. " * 3,
+        "  spaced\t\tout\n\nwhite   space  ",
+        "UPPER lower MiXeD 0123456789 !@#$",
+        "repeat repeat repeat repeat repeat repeat",
+        "unicode héllo wörld ünïcode",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "i int, t string")
+    both = df.select(
+        "i",
+        winnow_fingerprints(F.col("t")).alias("e"),
+        winnow_fingerprints_arrow(F.col("t")).alias("a"),
+    ).collect()
+    for r in both:
+        assert r["e"] == r["a"], (r["i"], texts[r["i"]], r["e"], r["a"])

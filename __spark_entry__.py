@@ -449,7 +449,7 @@ def _q_extract_fields(spark, sf):
 
 
 def _q_chunk_pack(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     units = d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("unit_idx", "unit")
     )
@@ -529,7 +529,7 @@ def _q_xycut(spark, sf):
     (gap 0.2 < min_gap) so no top-level horizontal cut, gutter 0.6 →
     vertical cut. Expected reading order = column-major (i%2, i) —
     SQL-expressible, so the recursion gets a value-level oracle."""
-    d = _t(spark, sf, "documents")
+    d = _tp(spark, sf, "documents")
     words = F.slice(F.split(F.col("text"), " "), 1, 12)
     blocks = F.transform(
         words,

@@ -113,6 +113,10 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "eval_hallucination",
         "json_extract",
         "xycut_reading_order",
+        "truncate_token_budget",
+        "concat_parts",
+        "parse_raw_spans",
+        "media_meta_dims",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

@@ -86,3 +86,32 @@ def test_truncate_cuts_at_sentence():
     assert out.endswith("...")
     assert simple_token_count(out[:-3]) <= 31  # cut prefix within budget
     assert len(out) < len(text)
+
+
+def test_truncate_duckdb_oracle_matches_python():
+    """Regression pin for the recursive-CTE truncation oracle: DuckDB
+    must replay the binary search exactly (the driver checks this at
+    sf0.01; this pins it on adversarial short strings without Spark)."""
+    import duckdb
+
+    from __spark_entry__ import _truncate_sql
+    from extractthinker_spark.functions.tokens import truncate_to_token_limit
+
+    cases = [
+        "",
+        "short.",
+        "no dots here at all " * 20,
+        "a.b.c.d." * 40,
+        "Sentence one. " + "word " * 120 + ". tail.",
+        ". leading",
+        "x" * 300 + ".",
+        "Multi.\nline. text\nwith newlines. " * 10,
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(cases))
+    )
+    got = dict(con.execute(_truncate_sql(40) + " ORDER BY doc_id").fetchall())
+    for i, t in enumerate(cases):
+        assert got[i] == truncate_to_token_limit(t, 40), (i, t[:40])

@@ -73,6 +73,8 @@ def sniff_format(b: bytes | None) -> str | None:
             return "mp4"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:2] == b"BM":
+        return "bmp"
     return "unknown"
 
 
@@ -86,6 +88,26 @@ def parse_dimensions(b: bytes | None) -> tuple[int | None, int | None]:
         if fmt == "gif" and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])
             return int(w), int(h)
+        if fmt == "pdf":
+            return None, None
+        if b[:2] == b"BM" and len(b) >= 26:
+            # BMP info header: int32 LE at 18/22 (height may be
+            # negative for top-down rows)
+            w, h = struct.unpack("<ii", b[18:26])
+            return int(w), abs(int(h))
+        if fmt == "webp" and len(b) >= 30:
+            four = b[12:16]
+            if four == b"VP8X":
+                w = 1 + int.from_bytes(b[24:27], "little")
+                h = 1 + int.from_bytes(b[27:30], "little")
+                return w, h
+            if four == b"VP8 " and b[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(b[26:28], "little") & 0x3FFF
+                h = int.from_bytes(b[28:30], "little") & 0x3FFF
+                return w, h
+            if four == b"VP8L":
+                bits = int.from_bytes(b[21:25], "little")
+                return 1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF)
         if fmt == "jpeg":
             # scan markers for SOF0..SOF15 (except DHT/DAC/RST)
             i = 2

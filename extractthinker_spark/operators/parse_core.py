@@ -26,6 +26,7 @@ from extractthinker_spark.schemas import PAGE_HEADER_PREFIX
 # ``![alt](target)`` marker, replaced with the alt id (group 1).
 MEDIA_MARKER_RE = r"!\[([^\]]*)\]\(([^)]*)\)"
 PAGE_HEADER_RE = r"^\fPAGE (\d+)\n"
+SHEET_HEADER_RE = r"^\fSHEET ([^\n]*)\n"
 
 
 def replace_media_markers(text: Column) -> Column:
@@ -41,6 +42,19 @@ def page_number(text: Column) -> Column:
     """1-based page number from the ``\\fPAGE k\\n`` header, NULL if absent."""
     n = F.regexp_extract(text, PAGE_HEADER_RE, 1)
     return F.when(n != "", n.cast("int"))
+
+
+def strip_sheet_header(text: Column) -> Column:
+    """Drop the ``\\fSHEET name\\n`` header from spreadsheet-sheet spans
+    (the sheet-name twin of the page header; reference keeps the name
+    OUTSIDE the content, document_loader_spreadsheet.py:95-100)."""
+    return F.regexp_replace(text, SHEET_HEADER_RE, "")
+
+
+def sheet_name(text: Column) -> Column:
+    """Sheet name from the ``\\fSHEET name\\n`` header, NULL if absent."""
+    n = F.regexp_extract(text, SHEET_HEADER_RE, 1)
+    return F.when(n != "", n)
 
 
 # scheme + non-empty host — urlparse(scheme in http/https, netloc)

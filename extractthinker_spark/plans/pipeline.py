@@ -30,6 +30,7 @@ from extractthinker_spark.operators.parse_core import (
     nest_spans,
     replace_media_markers,
     strip_page_header,
+    strip_sheet_header,
 )
 from extractthinker_spark.operators.parse_html import strip_html_udf
 
@@ -53,6 +54,7 @@ def extract_spans_flat(documents: DataFrame) -> DataFrame:
         F.when(F.col("kind") == "html", strip_html_udf(html_in))
         .when(F.col("kind") == "pdf_text", strip_page_header(F.col("text")))
         .when(F.col("kind") == "text", replace_media_markers(F.col("text")))
+        .when(F.col("kind") == "table", strip_sheet_header(F.col("text")))
         .otherwise(F.col("text"))
     )
     return flat.select(

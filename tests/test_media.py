@@ -161,3 +161,23 @@ def test_classify_media_argmax_and_tiebreak(spark):
     out = {r["doc_id"]: r["media_class"]
            for r in classify_media(df, dup).collect()}
     assert set(out.values()) == {"First"}
+
+
+def test_bmp_webp_dimensions():
+    import struct as _s
+
+    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 640, -480) + b"\x00" * 4
+    assert sniff_format(bmp) == "bmp"
+    assert parse_dimensions(bmp) == (640, 480)  # top-down height -> abs
+
+    vp8x = (b"RIFF" + b"\x20\x00\x00\x00" + b"WEBP" + b"VP8X"
+            + b"\x0a\x00\x00\x00" + b"\x00" * 4
+            + (99).to_bytes(3, "little") + (49).to_bytes(3, "little"))
+    assert sniff_format(vp8x) == "webp"
+    assert parse_dimensions(vp8x) == (100, 50)
+
+    vp8l_bits = (199) | (99 << 14)  # w-1=199, h-1=99
+    vp8l = (b"RIFF" + b"\x20\x00\x00\x00" + b"WEBP" + b"VP8L"
+            + b"\x0a\x00\x00\x00" + b"\x2f"
+            + vp8l_bits.to_bytes(4, "little") + b"\x00" * 5)
+    assert parse_dimensions(vp8l) == (200, 100)

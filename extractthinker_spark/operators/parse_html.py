@@ -80,11 +80,14 @@ def _unescape(text: str) -> str:
 
 @dataclass
 class Block:
-    """Per-block boilerplate statistics (Boilerpipe/CETD features)."""
+    """Per-block boilerplate statistics (Boilerpipe/CETD features).
+    ``tag`` is the block-level tag that opened the block ('' for the
+    leading/implicit block) — used by the markdown renderer."""
 
     pieces: list = field(default_factory=list)
     link_chars: int = 0
     tag_count: int = 0
+    tag: str = ""
 
     def text(self) -> str:
         return normalize_whitespace("".join(self.pieces))
@@ -139,8 +142,13 @@ def parse_html_blocks(html: str | None) -> list[Block]:
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1
         if not closing:
             blocks[-1].tag_count += 1
-        if tag in BLOCK_TAGS and blocks[-1].pieces:
-            blocks.append(Block())
+        if tag in BLOCK_TAGS:
+            if blocks[-1].pieces:
+                blocks.append(Block(tag="" if closing else tag))
+            elif not closing:
+                # empty current block: adopt the opening tag instead of
+                # spawning another empty block
+                blocks[-1].tag = tag
     if pos < len(html) and removed_depth == 0:
         raw = _unescape(html[pos:])
         if raw:
@@ -206,3 +214,53 @@ def html_block_stats_udf(col: Column) -> Column:
         return htmls.map(one, na_action="ignore")
 
     return _stats(col)
+
+
+# ---------------------------------------------------------------------------
+# Markdown conversion (MarkItDown-subset, SURVEY §2.1 S9).
+# ---------------------------------------------------------------------------
+
+_HEADING = {f"h{i}": "#" * i for i in range(1, 7)}
+
+
+def _block_markdown(b: Block) -> str:
+    t = b.text()
+    if b.tag in _HEADING:
+        return f"{_HEADING[b.tag]} {t}"
+    if b.tag == "li":
+        return f"- {t}"
+    if b.tag == "blockquote":
+        return f"> {t}"
+    if b.tag == "pre":
+        return f"```\n{t}\n```"
+    return t
+
+
+def html_to_markdown(html: str | None, drop_boilerplate: bool = True) -> str:
+    """HTML → markdown text (the MarkItDown loader's many-formats→md
+    surface, document_loader_markitdown.py:170-253, restricted to the
+    html input our engine parses natively): h1-h6 → ``#``…, li → ``- ``,
+    blockquote → ``> ``, pre → fenced block; blocks joined with blank
+    lines. ``drop_boilerplate`` applies the same link-density gate as
+    extract_main_text so nav/footer link farms don't become list items.
+    Same element-label→markdown mapping family as the Docling loader
+    (document_loader_docling.py:292-355; see operators/layout.py for
+    the layout-label variant)."""
+    out = []
+    for b in parse_html_blocks(html):
+        if drop_boilerplate and b.link_density() > LINK_DENSITY_MAX:
+            continue
+        out.append(_block_markdown(b))
+    return "\n\n".join(out)
+
+
+def html_to_markdown_udf(col: Column, drop_boilerplate: bool = True) -> Column:
+    """Arrow-batched html → markdown column."""
+
+    @F.pandas_udf("string")
+    def _md(htmls: pd.Series) -> pd.Series:
+        return htmls.map(
+            lambda h: html_to_markdown(h, drop_boilerplate), na_action="ignore"
+        ).fillna("")
+
+    return _md(col)

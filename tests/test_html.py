@@ -67,3 +67,35 @@ def test_comments_and_doctype_stripped():
 def test_deterministic():
     html = "<body><p>stable output</p></body>"
     assert extract_main_text(html) == extract_main_text(html)
+
+
+def test_html_to_markdown_golden(spark):
+    """MarkItDown-subset conversion (S9): headings/list/quote/pre map
+    to markdown, boilerplate link farms drop, block order preserved."""
+    import pyspark.sql.functions as F
+
+    from extractthinker_spark.operators.parse_html import (
+        html_to_markdown,
+        html_to_markdown_udf,
+    )
+
+    html = (
+        "<html><head><script>x</script></head><body>"
+        "<h1>Title</h1><p>Intro text here.</p>"
+        "<h2>Section</h2><ul><li>one</li><li>two</li></ul>"
+        "<blockquote>quoted words</blockquote>"
+        "<pre>code block</pre>"
+        '<div><a href="/a">nav1</a> <a href="/b">nav2</a></div>'
+        "<footer>foot</footer></body></html>"
+    )
+    want = (
+        "# Title\n\nIntro text here.\n\n## Section\n\n- one\n\n- two"
+        "\n\n> quoted words\n\n```\ncode block\n```"
+    )
+    assert html_to_markdown(html) == want
+    # link farm kept when boilerplate gate is off
+    assert "nav1 nav2" in html_to_markdown(html, drop_boilerplate=False)
+
+    df = spark.createDataFrame([(1, html)], "i int, h string")
+    got = df.select(html_to_markdown_udf(F.col("h")).alias("md")).collect()
+    assert got[0]["md"] == want

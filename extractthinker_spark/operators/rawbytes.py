@@ -196,9 +196,7 @@ def detect_format_bytes(raw: Column) -> Column:
     """
 
     def dispatch(c: Column) -> Column:
-        head_hex, body_hex, is_ascii, th = (
-            c["hh"], c["bh"], c["asc"], c["th"]
-        )
+        head_hex, is_ascii, th = c["hh"], c["asc"], c["th"]
         txt = F.lower(F.ltrim(F.decode(th, "UTF-8")))
 
         def marker_at_even(marker: str, hay: Column) -> Column:
@@ -208,12 +206,19 @@ def detect_format_bytes(raw: Column) -> Column:
             return (pos > 0) & ((pos - 1) % 2 == 0)
 
         expr = F.when(c["empty"], F.lit("empty"))
-        # containers first (more specific than the plain prefixes)
-        zip_fmt = F.lit("zip")
-        for fmt, marker in reversed(_ZIP_MARKERS):
-            zip_fmt = F.when(marker_at_even(marker, body_hex), fmt).otherwise(
-                zip_fmt
-            )
+        # containers first (more specific than the plain prefixes).
+        # The 4 KB body hex (marker search) is computed INSIDE the zip
+        # branch and _let-bound, so only zip-magic rows pay for it —
+        # at corpus scale most rows are not zips.
+        def zip_chain(bh: Column) -> Column:
+            zf = F.lit("zip")
+            for fmt, marker in reversed(_ZIP_MARKERS):
+                zf = F.when(marker_at_even(marker, bh), fmt).otherwise(zf)
+            return zf
+
+        zip_fmt = _let(
+            F.upper(F.hex(F.substring(c["r"], 1, _SNIFF_BODY))), zip_chain
+        )
         expr = expr.when(head_hex.startswith(_ZIP_MAGIC), zip_fmt)
         riff_fmt = F.lit("unknown")
         for fmt, kind in reversed(_RIFF_KINDS):
@@ -248,11 +253,11 @@ def detect_format_bytes(raw: Column) -> Column:
         return _let(
             F.struct(
                 F.upper(F.hex(F.substring(r, 1, _SNIFF_HEAD))).alias("hh"),
-                F.upper(F.hex(F.substring(r, 1, _SNIFF_BODY))).alias("bh"),
                 # every byte <= 0x7F → safe to decode as text
                 F.upper(F.hex(th)).rlike("^([0-7][0-9A-F])*$").alias("asc"),
                 th.alias("th"),
                 (r.isNull() | (F.length(r) == 0)).alias("empty"),
+                r.alias("r"),
             ),
             dispatch,
         )

@@ -268,9 +268,25 @@ class Process:
             return self.extractor.classify(merged, text_col=text_col).select(
                 "doc_id", "classification", "confidence"
             )
+        # Two-stage select: score once per (layer, extractor) into an
+        # aliased column, then gate over the aliases — the strategy
+        # expressions reference each result several times, and a flat
+        # select would re-inline (re-run) the full regex scorer per
+        # reference (no CSE across when-branches; measured ~8x on the
+        # consensus oracle query).
+        score_cols = []
+        names: list[list[str]] = []
+        for li, layer in enumerate(self._layers):
+            row = []
+            for ei, e in enumerate(layer):
+                alias = f"_s{li}_{ei}"
+                score_cols.append(e._score(F.col(text_col)).alias(alias))
+                row.append(alias)
+            names.append(row)
+        scored = merged.select("doc_id", *score_cols)
         layer_exprs = []
-        for layer in self._layers:
-            results = [e._score(F.col(text_col)) for e in layer]
+        for row in names:
+            results = [F.col(a) for a in row]
             if strategy == ClassificationStrategy.CONSENSUS:
                 layer_exprs.append(consensus(*results))
             elif strategy == ClassificationStrategy.HIGHER_ORDER:
@@ -280,7 +296,7 @@ class Process:
                     consensus_with_threshold(threshold, *results)
                 )
         res = layered(*layer_exprs)
-        return merged.select(
+        return scored.select(
             "doc_id",
             res["name"].alias("classification"),
             res["confidence"].alias("confidence"),

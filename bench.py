@@ -10,7 +10,7 @@ Env knobs:
   SPARK_GRAFT_SF_DIR   input dir            (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local parallelism    (default 32)
   BENCH_CORPUS_DOCS    synthetic corpus size (default 24000)
-  BENCH_RUNS           runs per query, min reported (default 2 — this
+  BENCH_RUNS           runs per query, min reported (default 3 — this
                        sandbox shows 4-10x CPU-steal noise windows and
                        first runs pay whole-stage-codegen JIT, so a
                        single sample routinely misreports a 2s query
@@ -57,7 +57,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
     spark = get_spark("bench", master=master or f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:

@@ -1230,15 +1230,18 @@ def _consensus_sql() -> str:
         hi AS (SELECT *,
               greatest(k_conf, h_conf, f_conf) AS bc FROM n),
         ho AS (SELECT *,
-              greatest(CASE WHEN k_conf = bc THEN k_name END,
-                       CASE WHEN h_conf = bc THEN h_name END,
-                       CASE WHEN f_conf = bc THEN f_name END) AS bn
+              -- higher_order: confidence ties keep the EARLIEST scorer
+              -- (Python max returns the first maximal element)
+              CASE WHEN k_conf = bc THEN k_name
+                   WHEN h_conf = bc THEN h_name
+                   ELSE f_name END AS bn
               FROM hi)
         SELECT o_orderkey, k_name, k_conf, h_name, h_conf, f_name, f_conf,
+               -- consensus: all agree -> FIRST scorer's result
                CASE WHEN k_name = h_name AND h_name = f_name
                     THEN k_name ELSE bn END AS final_name,
                CASE WHEN k_name = h_name AND h_name = f_name
-                    THEN greatest(k_conf, h_conf, f_conf)
+                    THEN k_conf
                     ELSE bc END AS final_conf
         FROM ho
     """

@@ -115,20 +115,27 @@ def classify_fields(text: Column, contracts=None) -> Column:
 # ---------------------------------------------------------------------------
 
 def consensus(*results: Column) -> Column:
-    """All scorers agree on the name → that result (max confidence)."""
+    """All scorers agree on the name → the FIRST scorer's result
+    (process.py:104-106 returns ``group_classifications[0]``)."""
     names = F.array(*[r["name"] for r in results])
     agree = F.size(F.array_distinct(names)) == 1
-    best = F.greatest(*results) if len(results) > 1 else results[0]
-    return F.when(agree, best)
+    return F.when(agree, results[0])
 
 
 def higher_order(*results: Column) -> Column:
-    """Max-confidence scorer wins (struct comparison orders by
-    confidence first because we rebuild with confidence leading)."""
+    """Max-confidence scorer wins; confidence ties keep the EARLIEST
+    scorer (process.py:109 ``max(..., key=confidence)`` — Python max
+    returns the first maximal element). The comparison struct leads
+    with confidence then a negated scorer index, so array_max orders
+    by confidence and breaks ties toward index 0."""
     arr = F.array(
         *[
-            F.struct(r["confidence"].alias("confidence"), r["name"].alias("name"))
-            for r in results
+            F.struct(
+                r["confidence"].alias("confidence"),
+                F.lit(-i).alias("nidx"),
+                r["name"].alias("name"),
+            )
+            for i, r in enumerate(results)
         ]
     )
     m = F.array_max(arr)
@@ -138,13 +145,15 @@ def higher_order(*results: Column) -> Column:
 
 
 def consensus_with_threshold(threshold: int, *results: Column) -> Column:
-    """Agree on name AND every confidence >= threshold."""
+    """Agree on name AND every confidence >= threshold → the FIRST
+    scorer's result (process.py:111-114 returns
+    ``group_classifications[0]``)."""
     names = F.array(*[r["name"] for r in results])
     confs = F.array(*[r["confidence"] for r in results])
     ok = (F.size(F.array_distinct(names)) == 1) & (
         F.array_min(confs) >= F.lit(threshold)
     )
-    return F.when(ok, higher_order(*results))
+    return F.when(ok, results[0])
 
 
 def layered(*layers: Column) -> Column:

@@ -66,6 +66,35 @@ def test_strategies(doc_texts):
     assert df.filter("hi.confidence < 1").count() == 0
 
 
+def test_strategy_ties_keep_first_scorer(spark):
+    """Reference tie semantics (process.py:104-114): CONSENSUS and
+    CONSENSUS_WITH_THRESHOLD return group_classifications[0]; Python
+    ``max(..., key=confidence)`` keeps the FIRST maximal element."""
+
+    def res(name, conf):
+        return F.struct(
+            F.lit(name).alias("name"), F.lit(conf).alias("confidence")
+        )
+
+    row = (
+        spark.range(1)
+        .select(
+            # all agree, differing confidence: first scorer's conf wins
+            consensus(res("A", 7), res("A", 9), res("A", 8)).alias("cons"),
+            # confidence tie between scorer 1 ('B') and scorer 2 ('A'):
+            # lexicographically 'B' > 'A' but FIRST scorer must win
+            higher_order(res("B", 9), res("A", 9), res("C", 3)).alias("hi"),
+            consensus_with_threshold(
+                5, res("A", 6), res("A", 9), res("A", 7)
+            ).alias("thr"),
+        )
+        .collect()[0]
+    )
+    assert (row["cons"]["name"], row["cons"]["confidence"]) == ("A", 7)
+    assert (row["hi"]["name"], row["hi"]["confidence"]) == ("B", 9)
+    assert (row["thr"]["name"], row["thr"]["confidence"]) == ("A", 6)
+
+
 def test_tree(spark):
     tree = {
         "nodes": [

@@ -772,6 +772,20 @@ RAW_FORMAT_CASES: list[tuple[int, str, str, str]] = [
     (12, "json", "", '{"k": 1} '),
     (13, "txt", "", "plain: "),
     (14, "unknown", "80FF00", ""),
+    (15, "avi", "52494646CC00000041564920", ""),
+    # OLE2/CFB: magic + UTF-16LE directory stream name (hex, so the
+    # NUL-interleaved marker survives the ascii filler restriction)
+    (16, "doc",
+     "D0CF11E0A1B11AE1" + "WordDocument".encode("utf-16-le").hex().upper(),
+     ""),
+    (17, "xls",
+     "D0CF11E0A1B11AE1" + "Workbook".encode("utf-16-le").hex().upper(),
+     ""),
+    (18, "ppt",
+     "D0CF11E0A1B11AE1"
+     + "PowerPoint Document".encode("utf-16-le").hex().upper(),
+     ""),
+    (19, "ole2", "D0CF11E0A1B11AE1", ""),
 ]
 
 

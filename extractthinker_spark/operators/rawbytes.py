@@ -98,6 +98,7 @@ MIME_TYPE_MAPPING: dict[str, list[str]] = {
     "webm": ["video/webm"],
     "flv": ["video/x-flv"],
     "wmv": ["video/x-ms-wmv"],
+    "avi": ["video/x-msvideo"],
     # fonts / misc binary
     "ttf": ["font/ttf"],
     "otf": ["font/otf"],
@@ -105,6 +106,8 @@ MIME_TYPE_MAPPING: dict[str, list[str]] = {
     "woff2": ["font/woff2"],
     "sqlite": ["application/x-sqlite3"],
     "ps": ["application/postscript"],
+    # OLE2/CFB compound file whose directory we could not classify
+    "ole2": ["application/x-ole-storage"],
 }
 
 
@@ -162,12 +165,22 @@ _MAGIC_PREFIXES: list[tuple[str, str]] = [
 
 _ZIP_MAGIC = "504B0304"
 _RIFF_MAGIC = "52494646"
+_OLE2_MAGIC = "D0CF11E0A1B11AE1"
 # inner markers for container disambiguation, as (format, ascii marker)
 _ZIP_MARKERS = [
     ("docx", "word/"),
     ("xlsx", "xl/"),
     ("pptx", "ppt/"),
     ("epub", "mimetypeapplication/epub"),
+]
+# OLE2/CFB directory stream names (UTF-16LE in the directory sectors):
+# the libmagic-style probe that splits legacy Office formats.
+# 'Workbook' is BIFF8, bare 'Book' is BIFF5 — both are xls.
+_OLE2_MARKERS = [
+    ("doc", "WordDocument"),
+    ("ppt", "PowerPoint Document"),
+    ("xls", "Workbook"),
+    ("xls", "Book"),
 ]
 _RIFF_KINDS = [("webp", "WEBP"), ("wav", "WAVE"), ("avi", "AVI ")]
 
@@ -178,6 +191,10 @@ _TEXT_HEAD = 256          # bytes of ASCII text examined
 
 def _ascii_hex(s: str) -> str:
     return s.encode("ascii").hex().upper()
+
+
+def _utf16_hex(s: str) -> str:
+    return s.encode("utf-16-le").hex().upper()
 
 
 def detect_format_bytes(raw: Column) -> Column:
@@ -199,27 +216,45 @@ def detect_format_bytes(raw: Column) -> Column:
         head_hex, is_ascii, th = c["hh"], c["asc"], c["th"]
         txt = F.lower(F.ltrim(F.decode(th, "UTF-8")))
 
-        def marker_at_even(marker: str, hay: Column) -> Column:
+        def marker_at_even(marker_hex: str, hay: Column) -> Column:
             # hex-string search: a real byte match is whole-byte
-            # aligned, i.e. starts at an odd 1-based hex position
-            pos = F.locate(_ascii_hex(marker), hay)
-            return (pos > 0) & ((pos - 1) % 2 == 0)
+            # aligned, i.e. the marker's hex starts at an EVEN
+            # 0-based offset. locate() finds only the FIRST hex
+            # occurrence — a nibble-shifted coincidence earlier in
+            # the body would mask a real aligned marker (and desync
+            # this expression from sniff_bytes, whose `in` test is
+            # byte-aligned by construction) — so test every even
+            # offset with an anchored lazy byte-pair regex.
+            return hay.rlike("^([0-9A-F]{2})*?" + marker_hex)
 
         expr = F.when(c["empty"], F.lit("empty"))
         # containers first (more specific than the plain prefixes).
-        # The 4 KB body hex (marker search) is computed INSIDE the zip
-        # branch and _let-bound, so only zip-magic rows pay for it —
-        # at corpus scale most rows are not zips.
+        # The 4 KB body hex (marker search) is computed INSIDE the
+        # container branches and _let-bound, so only container-magic
+        # rows pay for it — at corpus scale most rows are neither.
         def zip_chain(bh: Column) -> Column:
             zf = F.lit("zip")
             for fmt, marker in reversed(_ZIP_MARKERS):
-                zf = F.when(marker_at_even(marker, bh), fmt).otherwise(zf)
+                zf = F.when(
+                    marker_at_even(_ascii_hex(marker), bh), fmt
+                ).otherwise(zf)
             return zf
 
-        zip_fmt = _let(
-            F.upper(F.hex(F.substring(c["r"], 1, _SNIFF_BODY))), zip_chain
+        def ole2_chain(bh: Column) -> Column:
+            of = F.lit("ole2")
+            for fmt, marker in reversed(_OLE2_MARKERS):
+                of = F.when(
+                    marker_at_even(_utf16_hex(marker), bh), fmt
+                ).otherwise(of)
+            return of
+
+        body_hex = lambda: F.upper(F.hex(F.substring(c["r"], 1, _SNIFF_BODY)))  # noqa: E731
+        expr = expr.when(
+            head_hex.startswith(_ZIP_MAGIC), _let(body_hex(), zip_chain)
         )
-        expr = expr.when(head_hex.startswith(_ZIP_MAGIC), zip_fmt)
+        expr = expr.when(
+            head_hex.startswith(_OLE2_MAGIC), _let(body_hex(), ole2_chain)
+        )
         riff_fmt = F.lit("unknown")
         for fmt, kind in reversed(_RIFF_KINDS):
             riff_fmt = F.when(
@@ -276,6 +311,12 @@ def sniff_bytes(b: bytes | None) -> str:
             if marker.encode("ascii") in body:
                 return fmt
         return "zip"
+    if b[:8] == bytes.fromhex(_OLE2_MAGIC):
+        body = b[:_SNIFF_BODY]
+        for fmt, marker in _OLE2_MARKERS:
+            if marker.encode("utf-16-le") in body:
+                return fmt
+        return "ole2"
     if b[:4] == bytes.fromhex(_RIFF_MAGIC):
         for fmt, kind in _RIFF_KINDS:
             if b[8:12] == kind.encode("ascii"):

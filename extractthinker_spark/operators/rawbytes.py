@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import re
 import zipfile
+import zlib
 from collections.abc import Iterator
 from io import BytesIO
 
@@ -350,24 +351,117 @@ def sniff_bytes(b: bytes | None) -> str:
 # ---------------------------------------------------------------------------
 
 _PDF_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-_PDF_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+_PDF_STR = rb"\(((?:[^()\\]|\\.)*)\)"
+# text-show operators in stream order: `(s) Tj` or `[ (a) -120 (b) ] TJ`
+_PDF_SHOW_RE = re.compile(
+    _PDF_STR + rb"\s*Tj" + rb"|\[(.*?)\]\s*TJ", re.DOTALL
+)
+_PDF_STR_RE = re.compile(_PDF_STR)
+# content-stream objects: << dict >> stream\n ... endstream
+_PDF_STREAM_RE = re.compile(
+    rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL
+)
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
 _DOCX_WT_RE = re.compile(r"<w:t(?:\s[^>]*)?>(.*?)</w:t>", re.DOTALL)
 _DOCX_PAGEBREAK = '<w:br w:type="page"/>'
 
 
+def _pdf_unescape(s: bytes) -> str:
+    """PDF literal-string escapes (PDF 32000-1 §7.3.4.2): named
+    escapes, ``\\(`` ``\\)`` ``\\\\`` and up-to-3-digit octal codes."""
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            nxt = s[i + 1 : i + 2]
+            if 0x30 <= s[i + 1] <= 0x37:  # octal digit
+                j = i + 1
+                while j < min(n, i + 4) and 0x30 <= s[j] <= 0x37:
+                    j += 1
+                out.append(int(s[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            out += _PDF_ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return out.decode("latin-1")
+
+
+def _pdf_block_text(block: bytes) -> str:
+    """Shown text of one ``BT..ET`` block: ``Tj`` / ``TJ`` operators in
+    stream order; ``Tj`` strings one per line, ``TJ`` array strings
+    concatenated (kerning numbers dropped — pypdf's extract_text
+    convention for adjacent array elements)."""
+    parts = []
+    for m in _PDF_SHOW_RE.finditer(block):
+        if m.group(1) is not None:  # (s) Tj
+            parts.append(_pdf_unescape(m.group(1)))
+        else:  # [ ... ] TJ
+            parts.append(
+                "".join(
+                    _pdf_unescape(g) for g in _PDF_STR_RE.findall(m.group(2))
+                )
+            )
+    return "\n".join(p for p in parts if p)
+
+
+def _inflate_pdf_stream(dict_bytes: bytes, data: bytes) -> bytes:
+    """Decompress a content stream when its dict names /FlateDecode
+    (stdlib zlib — the decode pypdf gets from its filter table,
+    document_loader_pypdf.py:104-152 path). The writer's optional EOL
+    before ``endstream`` is stripped only if the raw bytes fail, so a
+    checksum byte that happens to be 0x0A is never lost."""
+    if b"/FlateDecode" not in dict_bytes:
+        return data
+    for candidate in (data, data.rstrip(b"\r\n")):
+        try:
+            return zlib.decompress(candidate)
+        except zlib.error:
+            continue
+    return b""
+
+
 def decode_pdf_pages(b: bytes) -> list[str]:
-    """Page texts from the PDF text-object subset: one page per
-    ``BT..ET`` block, text = the block's ``(…) Tj`` strings joined with
-    newlines (the shape document_loader_pypdf.py:104-152 produces via
-    page.extract_text())."""
+    """Page texts from the PDF subset (document_loader_pypdf.py:104-152
+    page semantics):
+
+      * each ``stream..endstream`` object (FlateDecode-decompressed
+        when so marked) is one page — its ``BT..ET`` blocks' texts
+        joined with newlines (a content stream per /Page is the
+        overwhelmingly common layout);
+      * ``BT..ET`` blocks OUTSIDE streams are one page each (the
+        uncompressed fixture-subset convention, kept for
+        compatibility);
+      * text-show operators: ``(s) Tj`` and ``[..] TJ`` arrays, with
+        full literal-string escape decoding.
+    """
     pages = []
-    for block in _PDF_BLOCK_RE.findall(b):
-        parts = [
-            m.decode("latin-1").replace(r"\(", "(").replace(r"\)", ")")
-            for m in _PDF_TJ_RE.findall(block)
-        ]
-        if parts:
-            pages.append("\n".join(parts))
+
+    def raw_segment(seg: bytes) -> None:
+        for block in _PDF_BLOCK_RE.findall(seg):
+            text = _pdf_block_text(block)
+            if text:
+                pages.append(text)
+
+    pos = 0
+    for m in _PDF_STREAM_RE.finditer(b):
+        raw_segment(b[pos : m.start()])
+        content = _inflate_pdf_stream(m.group(1), m.group(2))
+        text = "\n".join(
+            t
+            for blk in _PDF_BLOCK_RE.findall(content)
+            if (t := _pdf_block_text(blk))
+        )
+        if text:
+            pages.append(text)
+        pos = m.end()
+    raw_segment(b[pos:])
     return pages
 
 
@@ -515,18 +609,31 @@ def parse_raw_bytes(
     return df.mapInPandas(batches, schema=schema)
 
 
-def make_fixture_pdf(pages: list[str]) -> bytes:
+def make_fixture_pdf(pages: list[str], compress: bool = False) -> bytes:
     """Deterministic fixture-subset PDF: headers + one BT/ET text
     object per page (enough structure for decode_pdf_pages and any
-    %PDF- magic check; NOT a full xref-valid file)."""
+    %PDF- magic check; NOT a full xref-valid file). With
+    ``compress=True`` each page's text object is wrapped in a
+    ``/FlateDecode`` content stream — the shape virtually every real
+    PDF writer emits."""
     body = b"%PDF-1.4\n"
     for i, text in enumerate(pages):
-        esc = text.replace("(", r"\(").replace(")", r"\)")
-        body += (
-            f"% page {i + 1}\nBT\n/F1 12 Tf\n"
+        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        content = (
+            "BT\n/F1 12 Tf\n"
             + "\n".join(f"({line}) Tj" for line in esc.split("\n"))
             + "\nET\n"
         ).encode("latin-1")
+        if compress:
+            z = zlib.compress(content)
+            body += (
+                b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % (i + 1, len(z))
+                + z
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            body += b"%% page %d\n" % (i + 1) + content
     return body + b"%%EOF\n"
 
 

@@ -18,9 +18,7 @@ Spark-native rebuild of the reference's FileSystemDataset
 
 from __future__ import annotations
 
-import glob
 import json
-import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -66,18 +64,6 @@ def filesystem_dataset(
     """
     with open(labels_path) as f:
         labels = json.load(f)
-    paths = sorted(glob.glob(os.path.join(documents_dir, file_pattern)))
-    names = [os.path.basename(p) for p in paths]
-    missing_labels = [n for n in names if n not in labels]
-    if missing_labels:
-        raise ValueError(
-            "Missing labels for documents: " + ", ".join(missing_labels)
-        )
-    missing_docs = [d for d in labels if d not in set(names)]
-    if missing_docs:
-        raise ValueError(
-            "Missing documents for labels: " + ", ".join(missing_docs)
-        )
     docs = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", file_pattern)
@@ -88,4 +74,21 @@ def filesystem_dataset(
             F.col("content").alias("raw"),
         )
     )
+    # Validate against the binaryFile listing itself (doc ids are
+    # manifest-sized) — a driver-side glob would only see the local
+    # filesystem and spuriously fail for s3://, hdfs:// etc. even
+    # though the Spark read succeeds.
+    names = sorted(
+        r["doc_id"] for r in docs.select("doc_id").distinct().collect()
+    )
+    missing_labels = [n for n in names if n not in labels]
+    if missing_labels:
+        raise ValueError(
+            "Missing labels for documents: " + ", ".join(missing_labels)
+        )
+    missing_docs = [d for d in labels if d not in set(names)]
+    if missing_docs:
+        raise ValueError(
+            "Missing documents for labels: " + ", ".join(missing_docs)
+        )
     return docs, labels_from_json(spark, labels_path)

@@ -119,7 +119,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded MinHash LSH.
 
@@ -127,14 +127,16 @@ def minhash_lsh_candidates(
     of the signature matches exactly. One shuffle on (band, band_hash);
     the self-join happens within buckets only.
 
-    ``max_bucket_size`` (off by default) drops band buckets larger than
-    the cap before the self-join — the guard for corpora with huge
-    exact-duplicate clusters, where one bucket holds the whole cluster
-    and the join emits |cluster|^2 rows. Exact dedup first (dedup_exact)
-    is the cheaper fix; the cap is the belt-and-braces for when near-dup
-    runs on a corpus that skipped it. Capped clusters keep their pairs
-    with high probability via their other ``bands-1`` buckets unless
-    those are capped too (i.e. the cluster really is huge).
+    ``max_bucket_size`` (default 1000, matching the posting-list cap
+    ``cap_posting_df`` uses for the ngram/winnow paths; pass None to
+    disable) drops band buckets larger than the cap before the
+    self-join — the guard for corpora with huge exact-duplicate
+    clusters, where one bucket holds the whole cluster and the join
+    emits |cluster|^2 rows. Exact dedup first (dedup_exact) is the
+    cheaper fix; the cap is the belt-and-braces for when near-dup runs
+    on a corpus that skipped it. Capped clusters keep their pairs with
+    high probability via their other ``bands-1`` buckets unless those
+    are capped too (i.e. the cluster really is huge).
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures_df(df, key, text_col, num_perm, shingle_k)
@@ -217,9 +219,12 @@ def dedup_minhash(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Full MinHash pipeline: LSH candidates → verified Jaccard pairs."""
+    """Full MinHash pipeline: LSH candidates → verified Jaccard pairs.
+    The band-bucket cap defaults ON (see minhash_lsh_candidates) —
+    pass ``max_bucket_size=None`` for exhaustive pairs on corpora known
+    to be exact-dedup'd first."""
     cands = minhash_lsh_candidates(
         df, key, text_col, num_perm, bands, max_bucket_size=max_bucket_size
     )

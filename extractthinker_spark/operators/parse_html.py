@@ -30,6 +30,7 @@ Spec (versioned; tests pin it):
 
 from __future__ import annotations
 
+import html as html_lib
 import re
 from dataclasses import dataclass, field
 
@@ -67,15 +68,21 @@ _RAW_TEXT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
-_ENTITIES = {
-    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
-    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
-}
-_ENTITY_RE = re.compile("|".join(map(re.escape, _ENTITIES)))
 
 
 def _unescape(text: str) -> str:
-    return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
+    """HTML character-reference decoding with full HTML5 semantics —
+    named entities, ``&#233;`` decimal and ``&#x2019;`` hex numeric
+    refs, windows-1252 C1 remapping — via stdlib html.unescape. This
+    is exactly what bs4 ``get_text()`` yields on non-ASCII pages
+    (document_loader_beautiful_soup.py:193-196): bs4's html.parser
+    applies the same HTML5 reference rules. ``&nbsp;`` maps to a plain
+    space rather than U+00A0 so downstream whitespace normalization
+    and token counting treat it as an ordinary break (bs4 followed by
+    the reference's whitespace cleanup does the same)."""
+    if "&" not in text:
+        return text
+    return html_lib.unescape(text).replace("\xa0", " ")
 
 
 @dataclass

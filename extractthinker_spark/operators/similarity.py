@@ -350,31 +350,39 @@ def ann_topk_ivf(
     n_probe: int = 4,
     seed: int = 42,
     train_rows: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN, production path: seeded KMeans
     partitions the corpus into ``n_lists`` cells; each query probes its
     ``n_probe`` nearest centroids and exact-cosine re-ranks within
     those cells only.
 
-    ``train_rows`` caps the KMeans fit at a seeded sample (FAISS trains
-    IVF on ~256×n_lists vectors; defaults to that) — at 10^9 vectors a
-    full-corpus fit is a multi-pass job over every vector for no recall
-    gain. Assignment of the full corpus is a narrow map either way.
-    Same output schema as brute_force_topk; recall < 1 by design.
-    For a value-level cross-engine-checkable variant see
-    ann_topk_ivf_portable.
+    ``train_rows`` caps the KMeans fit at ~256×n_lists vectors (the
+    FAISS convention) — at 10^9 vectors a full-corpus fit is a
+    multi-pass job over every vector for no recall gain. Pass
+    ``corpus_rows`` (a row-count hint, e.g. from table metadata) to
+    draw the training set as a seeded Bernoulli sample; without it NO
+    pre-fit count job is scheduled — the fit trains on
+    ``limit(train_rows)``, an early-terminating scan (fine for
+    clustering quality unless the storage order is adversarial, in
+    which case supply the hint). Assignment of the full corpus is a
+    narrow map either way. Same output schema as brute_force_topk;
+    recall < 1 by design. For a value-level cross-engine-checkable
+    variant see ann_topk_ivf_portable.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     if train_rows is None:
         train_rows = 256 * n_lists
-    train = corpus
-    n = corpus.select(key).count()
-    if n > train_rows:
+    if corpus_rows is not None and corpus_rows > train_rows:
         # seeded Bernoulli sample, slightly over-drawn so the fit sees
         # ~train_rows vectors (exact count is irrelevant to KMeans)
-        train = corpus.sample(min(1.0, 1.1 * train_rows / n), seed=seed)
+        train = corpus.sample(
+            min(1.0, 1.1 * train_rows / corpus_rows), seed=seed
+        )
+    else:
+        train = corpus.limit(train_rows)
     train_v = train.withColumn("_v", array_to_vector(F.col(vec_col)))
     model = KMeans(
         k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list"
@@ -407,7 +415,7 @@ def lloyd_centroids_portable(
     vec_col: str,
     n_lists: int,
     iters: int = 2,
-    sample_pct: int = 100,
+    sample_pct: int | None = None,
     impl: str = "expr",
 ) -> list[list[float]]:
     """Deterministic, cross-engine-derivable IVF centroids.
@@ -421,13 +429,21 @@ def lloyd_centroids_portable(
     ~1e-16 — far below the ~1e-5 assignment-gap margin, the same
     argument as the LSH planes).
 
-    Scale shape: training runs on the ``sample_pct`` portable sample
-    (set it so the sample is ~256×n_lists rows); per-round driver
-    traffic is n_lists×dim doubles (the collected means), never
-    vectors. The global row_number for init runs on the SAMPLE only —
-    a single-partition sort of a bounded set, not the corpus.
+    Scale shape: training runs on the ``sample_pct`` portable sample.
+    ``None`` (the default) DERIVES the smallest percentage keeping
+    ~256×n_lists training rows (FAISS convention) from a corpus count,
+    so the init's global row_number sort never runs over the full
+    corpus by accident; pass an explicit percentage when an oracle
+    must replay the sampling. Per-round driver traffic is n_lists×dim
+    doubles (the collected means), never vectors. The global
+    row_number for init runs on the SAMPLE only — a single-partition
+    sort of a bounded set, not the corpus.
     """
     train = corpus.select(F.col(key).alias("_k"), F.col(vec_col).alias("v"))
+    if sample_pct is None:
+        n0 = train.count()
+        target = 256 * n_lists
+        sample_pct = min(100, max(1, -(-100 * target // max(1, n0))))
     if sample_pct < 100:
         train = train.filter(portable_sample_pred(F.col("_k"), sample_pct))
     n = train.count()
@@ -474,7 +490,7 @@ def ann_topk_ivf_portable(
     n_lists: int = 16,
     n_probe: int = 4,
     iters: int = 2,
-    sample_pct: int = 100,
+    sample_pct: int | None = None,
     impl: str = "expr",
 ) -> DataFrame:
     """IVF ANN with portable deterministic centroids — identical search

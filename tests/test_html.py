@@ -29,6 +29,22 @@ def test_entities_unescaped():
     assert extract_main_text("<p>Tom &amp; Jerry &lt;3</p>") == "Tom & Jerry <3"
 
 
+def test_numeric_and_named_entities_full_html5():
+    """bs4 get_text() parity on non-ASCII pages (VERDICT r2 missing
+    #5): decimal and hex numeric refs, extended named entities, and
+    the windows-1252 C1 remapping all decode; &nbsp; stays a plain
+    space."""
+    assert extract_main_text("<p>caf&#233; r&eacute;sum&#xe9;</p>") == (
+        "café résumé"
+    )
+    assert extract_main_text("<p>it&#x2019;s &#8212; fine</p>") == "it’s — fine"
+    # HTML5 maps the C1 range through windows-1252: &#146; is ’
+    assert extract_main_text("<p>don&#146;t</p>") == "don’t"
+    assert extract_main_text("<p>a&nbsp;b</p>") == "a b"
+    # an invalid reference yields the replacement character, not junk
+    assert extract_main_text("<p>x&#0;y</p>") == "x�y"
+
+
 def test_nested_removed_subtree():
     html = "<div><script>if (a<b) { x(); }</script>kept</div>"
     assert extract_main_text(html) == "kept"

@@ -631,6 +631,55 @@ def _q_field_metrics(spark, sf):
     return field_metrics(joined)
 
 
+def _q_teacher_student(spark, sf):
+    """Teacher-student comparative evaluation (evaluator.py:427-780):
+    two constructed predictors over two fields of the documents table
+    — the student degrades on a doc_id cycle (wrong-present / absent),
+    the teacher on a sparser cycle — through join_predictions +
+    comparative_field_metrics (single-pass both-sides counters,
+    improvement % per the reference formula)."""
+    from extractthinker_spark.eval.comparative import (
+        comparative_field_metrics,
+        join_predictions,
+    )
+
+    d = _tp(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    t_exp = F.substring(norm, 1, 20)
+    b_exp = F.substring(norm, 21, 20)
+    k = F.col("doc_id")
+
+    def long_df(title_col, body_col, out):
+        return d.select(
+            F.col("doc_id").alias("doc_id"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("title").alias("field"),
+                             title_col.alias(out)),
+                    F.struct(F.lit("body").alias("field"),
+                             body_col.alias(out)),
+                )
+            ).alias("e"),
+        ).select("doc_id", "e.field", f"e.{out}")
+
+    labels = long_df(t_exp, b_exp, "expected")
+    student = long_df(
+        F.when(k % 4 == 1, F.concat(F.lit("x"), t_exp))
+        .when(k % 4 == 2, F.lit(""))
+        .otherwise(t_exp),
+        F.when(k % 3 == 0, b_exp).otherwise(F.concat(F.lit("y"), b_exp)),
+        "predicted",
+    )
+    teacher = long_df(
+        F.when(k % 8 == 7, F.concat(F.lit("x"), t_exp)).otherwise(t_exp),
+        F.when(k % 5 == 0, F.lit("")).otherwise(b_exp),
+        "predicted",
+    )
+    return comparative_field_metrics(
+        join_predictions(labels, student, teacher)
+    )
+
+
 def _q_hallucination(spark, sf):
     """Tiered hallucination scores over values constructed to hit each
     tier deterministically from the document text."""
@@ -1094,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_metrics": _q_cost_metrics,
         "eval_field_compare": _q_field_compare,
         "eval_field_metrics": _q_field_metrics,
+        "teacher_student_eval": _q_teacher_student,
         "eval_hallucination": _q_hallucination,
         "spreadsheet_rows": _q_spreadsheet_rows,
         "dedup_embedding_cosine": _q_cosine_near_dups,
@@ -1828,6 +1878,71 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1,
                round(CASE WHEN total > 0 THEN tp / CAST(total AS DOUBLE) ELSE 0.0 END, 6) AS accuracy
         FROM pr
+    """
+    sql["teacher_student_eval"] = r"""
+        WITH n AS (SELECT doc_id,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+              FROM documents),
+        e AS (SELECT doc_id, substring(norm, 1, 20) AS t_exp,
+                     substring(norm, 21, 20) AS b_exp FROM n),
+        l AS (
+          SELECT doc_id, 'title' AS field, t_exp AS expected,
+                 CASE WHEN doc_id % 4 = 1 THEN 'x' || t_exp
+                      WHEN doc_id % 4 = 2 THEN ''
+                      ELSE t_exp END AS student,
+                 CASE WHEN doc_id % 8 = 7 THEN 'x' || t_exp
+                      ELSE t_exp END AS teacher
+          FROM e
+          UNION ALL
+          SELECT doc_id, 'body', b_exp,
+                 CASE WHEN doc_id % 3 = 0 THEN b_exp
+                      ELSE 'y' || b_exp END,
+                 CASE WHEN doc_id % 5 = 0 THEN '' ELSE b_exp END
+          FROM e),
+        agg AS (SELECT field, count(*) AS total,
+           CAST(sum(CASE WHEN trim(expected) = trim(student)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s_tp,
+           CAST(sum(CASE WHEN trim(expected) <> trim(student)
+                         AND trim(student) <> '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS s_fp,
+           CAST(sum(CASE WHEN trim(expected) <> trim(student)
+                         AND trim(student) = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS s_fn,
+           CAST(sum(CASE WHEN trim(expected) = trim(teacher)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS t_tp,
+           CAST(sum(CASE WHEN trim(expected) <> trim(teacher)
+                         AND trim(teacher) <> '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS t_fp,
+           CAST(sum(CASE WHEN trim(expected) <> trim(teacher)
+                         AND trim(teacher) = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS t_fn
+          FROM l GROUP BY field),
+        pr AS (SELECT *,
+           CASE WHEN s_tp + s_fp > 0
+                THEN s_tp / CAST(s_tp + s_fp AS DOUBLE) ELSE 0.0 END AS sp,
+           CASE WHEN s_tp + s_fn > 0
+                THEN s_tp / CAST(s_tp + s_fn AS DOUBLE) ELSE 0.0 END AS sr,
+           CASE WHEN t_tp + t_fp > 0
+                THEN t_tp / CAST(t_tp + t_fp AS DOUBLE) ELSE 0.0 END AS tp_,
+           CASE WHEN t_tp + t_fn > 0
+                THEN t_tp / CAST(t_tp + t_fn AS DOUBLE) ELSE 0.0 END AS tr
+          FROM agg),
+        f AS (SELECT *,
+           round(CASE WHEN sp + sr > 0
+                 THEN 2 * sp * sr / (sp + sr) ELSE 0.0 END, 6) AS s_f1,
+           round(CASE WHEN tp_ + tr > 0
+                 THEN 2 * tp_ * tr / (tp_ + tr) ELSE 0.0 END, 6) AS t_f1
+          FROM pr)
+        SELECT field, total,
+               s_tp, s_fp, s_fn,
+               round(sp, 6) AS s_precision, round(sr, 6) AS s_recall, s_f1,
+               t_tp, t_fp, t_fn,
+               round(tp_, 6) AS t_precision, round(tr, 6) AS t_recall, t_f1,
+               CASE WHEN s_f1 > 0
+                    THEN round((t_f1 - s_f1) / s_f1 * 100, 6)
+                    WHEN t_f1 > 0 THEN CAST('Infinity' AS DOUBLE)
+                    ELSE 0.0 END AS improvement_pct
+        FROM f
     """
     sql["eval_hallucination"] = r"""
         WITH n AS (SELECT doc_id,

@@ -56,6 +56,17 @@ def build_report(
     return report
 
 
+def save_report(report: dict, output_path: str) -> None:
+    """Write the report dict as indented JSON
+    (Evaluator.save_report, evaluator.py:415-425 — the pydantic
+    ``report.json(indent=2)`` dump collapsed to a plain dict dump)."""
+    import json
+
+    with open(output_path, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    print(f"Report saved to: {output_path}")
+
+
 def report_to_markdown(report: dict) -> str:
     """Render the report dict as a markdown document (the reference's
     console/HTML renderers collapsed into one deterministic format)."""

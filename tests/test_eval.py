@@ -130,6 +130,188 @@ def test_hallucination_tiers(spark):
     assert agg["overall_score"] == 0.25
 
 
+def test_teacher_student_comparative(spark):
+    """TeacherStudentEvaluator semantics (evaluator.py:427-780): per-
+    field F1 for both sides + improvement %, document accuracy for
+    both sides, reference report shape."""
+    from extractthinker_spark.eval.comparative import (
+        build_comparative_report,
+        comparative_document_accuracy,
+        comparative_field_metrics,
+        comparative_report_to_markdown,
+        join_predictions,
+    )
+
+    labels = spark.createDataFrame(
+        [("d1", "amount", "10"), ("d2", "amount", "20"),
+         ("d3", "amount", "30"), ("d4", "amount", "40"),
+         ("d1", "vendor", "acme"), ("d2", "vendor", "bolt"),
+         ("d3", "vendor", "corp"), ("d4", "vendor", "dune")],
+        "doc_id string, field string, expected string",
+    )
+    # student: amount right on 2/4 (one wrong-present, one missing),
+    # vendor right on 4/4; teacher: everything right except d4.amount
+    # wrong-present
+    student = spark.createDataFrame(
+        [("d1", "amount", "10"), ("d2", "amount", "20"),
+         ("d3", "amount", "99"),
+         ("d1", "vendor", "acme"), ("d2", "vendor", "bolt"),
+         ("d3", "vendor", "corp"), ("d4", "vendor", "dune")],
+        "doc_id string, field string, predicted string",
+    )
+    teacher = spark.createDataFrame(
+        [("d1", "amount", "10"), ("d2", "amount", "20"),
+         ("d3", "amount", "30"), ("d4", "amount", "41"),
+         ("d1", "vendor", "acme"), ("d2", "vendor", "bolt"),
+         ("d3", "vendor", "corp"), ("d4", "vendor", "dune")],
+        "doc_id string, field string, predicted string",
+    )
+    joined = join_predictions(labels, student, teacher)
+    fm = {r["field"]: r for r in comparative_field_metrics(joined).collect()}
+
+    am = fm["amount"]
+    # student amount: TP=2 FP=1 FN=1 -> P=R=F1=2/3
+    assert (am["s_tp"], am["s_fp"], am["s_fn"]) == (2, 1, 1)
+    assert abs(am["s_f1"] - 0.666667) < 1e-6
+    # teacher amount: TP=3 FP=1 FN=0 -> P=3/4 R=1 F1=6/7
+    assert (am["t_tp"], am["t_fp"], am["t_fn"]) == (3, 1, 0)
+    assert abs(am["t_f1"] - 6 / 7) < 1e-5
+    assert abs(am["improvement_pct"] - (am["t_f1"] - am["s_f1"])
+               / am["s_f1"] * 100) < 1e-4
+    # vendor: both perfect -> improvement 0
+    assert fm["vendor"]["improvement_pct"] == 0.0
+    assert fm["vendor"]["s_f1"] == 1.0 and fm["vendor"]["t_f1"] == 1.0
+
+    acc = comparative_document_accuracy(joined).collect()[0]
+    # docs fully correct: student {d1,d2}=0.5, teacher {d1,d2,d3}=0.75
+    assert acc["n_docs"] == 4
+    assert acc["student_doc_accuracy"] == 0.5
+    assert acc["teacher_doc_accuracy"] == 0.75
+    assert abs(acc["doc_accuracy_improvement"] - 50.0) < 1e-6
+
+    report = build_comparative_report(
+        "ts", comparative_field_metrics(joined),
+        comparative_document_accuracy(joined),
+        student_model="rules-v1", teacher_model="rules-v2",
+    )
+    assert report["metrics"]["documents_evaluated"] == 4
+    assert set(report["field_improvements"]) == {"amount", "vendor"}
+    assert report["field_metrics"]["amount"]["tp"] == 2
+    assert report["teacher_field_metrics"]["amount"]["tp"] == 3
+    md = comparative_report_to_markdown(report)
+    assert "| amount |" in md and "rules-v2" in md
+
+
+def test_teacher_student_zero_student_f1(spark):
+    """Improvement is +inf when the student scores 0 and the teacher
+    doesn't, 0 when both score 0 (evaluator.py:739-744)."""
+    from extractthinker_spark.eval.comparative import (
+        comparative_field_metrics,
+        join_predictions,
+    )
+
+    labels = spark.createDataFrame(
+        [("d1", "a", "x"), ("d1", "b", "y")],
+        "doc_id string, field string, expected string",
+    )
+    student = spark.createDataFrame(
+        [("d1", "a", "wrong"), ("d1", "b", "wrong")],
+        "doc_id string, field string, predicted string",
+    )
+    teacher = spark.createDataFrame(
+        [("d1", "a", "x"), ("d1", "b", "also-wrong")],
+        "doc_id string, field string, predicted string",
+    )
+    fm = {
+        r["field"]: r
+        for r in comparative_field_metrics(
+            join_predictions(labels, student, teacher)
+        ).collect()
+    }
+    assert fm["a"]["s_f1"] == 0.0 and fm["a"]["t_f1"] == 1.0
+    assert fm["a"]["improvement_pct"] == float("inf")
+    assert fm["b"]["s_f1"] == 0.0 and fm["b"]["t_f1"] == 0.0
+    assert fm["b"]["improvement_pct"] == 0.0
+
+
+def _write_eval_fixture(tmp_path):
+    import json as _json
+
+    from extractthinker_spark.operators.rawbytes import make_fixture_pdf
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    (docs_dir / "inv1.pdf").write_bytes(
+        make_fixture_pdf(["Invoice #42\nDate: 1/2/03\nTotal: 99.50"])
+    )
+    (docs_dir / "inv2.pdf").write_bytes(
+        make_fixture_pdf(["Invoice #7\nDate: 4/5/06\nTotal: 10.00"],
+                         compress=True)
+    )
+    labels = {
+        "inv1.pdf": {"invoice_number": "42", "invoice_date": "1/2/03",
+                     "total_amount": "99.50"},
+        "inv2.pdf": {"invoice_number": "7", "invoice_date": "4/5/06",
+                     "total_amount": "11.00"},   # planted mismatch
+    }
+    labels_path = tmp_path / "labels.json"
+    labels_path.write_text(_json.dumps(labels))
+    config = {
+        "documents_dir": str(docs_dir),
+        "labels_path": str(labels_path),
+        "contract": "Invoice",
+        "evaluation_name": "cli-smoke",
+    }
+    config_path = tmp_path / "config.json"
+    config_path.write_text(_json.dumps(config))
+    return config, config_path
+
+
+def test_eval_run_pipeline(spark, tmp_path):
+    """run_eval drives the full library surface: binaryFile scan →
+    raw decode (one compressed PDF) → strip → contract extraction →
+    metrics → report dict."""
+    from extractthinker_spark.eval.cli import run_eval
+
+    config, _ = _write_eval_fixture(tmp_path)
+    report = run_eval(spark, config)
+    fm = report["field_metrics"]
+    # invoice_number/date right on both docs; total right on one
+    assert fm["invoice_number"]["tp"] == 2
+    assert fm["invoice_date"]["tp"] == 2
+    assert fm["total_amount"]["tp"] == 1 and fm["total_amount"]["fp"] == 1
+    assert report["documents"]["n_docs"] == 2
+    assert report["documents"]["n_correct_docs"] == 1
+    # hallucination path wires predicted values against doc text
+    report_h = run_eval(spark, {**config, "detect_hallucinations": True})
+    assert report_h["hallucination"]["n_fields"] > 0
+
+
+def test_eval_cli_module_main(tmp_path):
+    """`python -m extractthinker_spark.eval` end to end (reference
+    eval/cli.py entry): runs the config, prints the summary, saves the
+    JSON report (save_report) and the markdown twin."""
+    import json as _json
+    import subprocess
+    import sys
+
+    _, config_path = _write_eval_fixture(tmp_path)
+    out_json = tmp_path / "report.json"
+    out_md = tmp_path / "report.md"
+    proc = subprocess.run(
+        [sys.executable, "-m", "extractthinker_spark.eval",
+         "--config", str(config_path), "--output", str(out_json),
+         "--markdown", str(out_md), "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert f"Report saved to: {out_json}" in proc.stdout
+    report = _json.loads(out_json.read_text())
+    assert report["evaluation_name"] == "cli-smoke"
+    assert report["field_metrics"]["invoice_number"]["tp"] == 2
+    assert "# Evaluation: cli-smoke" in out_md.read_text()
+
+
 def test_report_assembly(spark):
     from extractthinker_spark.eval.report import build_report, report_to_markdown
 

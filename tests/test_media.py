@@ -94,10 +94,66 @@ def test_media_features_deterministic(spark):
     assert got["b"] == [0.0] * N_FEATURES
 
 
-def test_decode_pixels_stubbed():
+def test_decode_pixels_gate_non_png():
     if not _HAS_PIL:
         with pytest.raises(NotImplementedError):
-            decode_pixels(_png(2, 2))
+            decode_pixels(_jpeg(2, 2))
+
+
+def test_png_decode_roundtrip_all_filters():
+    """Pure-python PNG decode (VERDICT r2 missing #6): every scanline
+    filter type and color layout round-trips byte-exactly through the
+    fixture encoder."""
+    import numpy as np
+
+    from extractthinker_spark.operators.media import (
+        decode_png_pixels,
+        make_fixture_png,
+    )
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(3, 8, 4), dtype=np.uint8)
+    for px in (gray, rgb, rgba):
+        for ft in range(5):
+            got = decode_png_pixels(make_fixture_png(px, filter_type=ft))
+            assert got.shape == px.shape, (px.shape, ft)
+            assert (got == px).all(), (px.shape, ft)
+    # decode_pixels routes PNG magic to the pure path without PIL
+    assert (decode_pixels(make_fixture_png(gray)) == gray).all()
+    # unsupported shapes fail loudly, not silently wrong
+    blob = bytearray(make_fixture_png(rgb))
+    blob[24] = 16  # bit depth 16
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png_pixels(bytes(blob))
+
+
+def test_media_features_real_pixels_vs_fallback(spark):
+    """A decodable PNG contributes a LUMINANCE histogram (pixel path),
+    not a byte histogram of its compressed stream; undecodable bytes
+    keep the deterministic fallback."""
+    import numpy as np
+
+    from extractthinker_spark.operators.media import make_fixture_png
+
+    # all-white image: every luminance bucket is 15 -> single spike
+    white = np.full((4, 4), 255, dtype=np.uint8)
+    png = make_fixture_png(white)
+    df = spark.createDataFrame(
+        [("w", png), ("r", b"hello world")], "doc_id string, raw binary"
+    )
+    got = {r["doc_id"]: r["features"] for r in media_features(df).collect()}
+    want = [0.0] * N_FEATURES
+    want[15] = 1.0
+    assert got["w"] == want
+    # fallback identical to the explicit byte-histogram mode
+    got_raw = {
+        r["doc_id"]: r["features"]
+        for r in media_features(df, use_pixels=False).collect()
+    }
+    assert got["r"] == got_raw["r"]
+    assert got["w"] != got_raw["w"]
 
 
 def test_media_math(spark):

@@ -960,6 +960,139 @@ def _classify_media_sql() -> str:
     """
 
 
+def _q_raw_pipeline(spark, sf):
+    """Raw-bytes FLAGSHIP: Process.load_raw end-to-end over a mixed-
+    format constructed corpus — sniff → decode (incl. a REAL
+    FlateDecode-compressed PDF branch built by an Arrow UDF) → per-kind
+    strip → rule classification → contract field extraction — the full
+    reference journey (loader → extractor.classify → extract,
+    document_loader.py:84-87 + extractor.py:722-772 + 193-335) through
+    the public API. Value-level oracle: the compressed branch decodes
+    to by-construction page text, so DuckDB replays the final content
+    without needing zlib.
+
+    Branches (doc_id % 4): 0 = uncompressed 2-page PDF invoice,
+    1 = the SAME invoice with FlateDecode content streams, 2 = HTML
+    with boilerplate (script/nav/footer must be stripped before the
+    scorer sees it), 3 = plain-text driver license."""
+    import pandas as pd
+
+    from extractthinker_spark.api import Process
+    from extractthinker_spark.operators.extract import extract_scalar_fields
+    from extractthinker_spark.plans.pipeline import doc_text
+
+    d = _tp(spark, sf, "documents")
+    k = F.col("doc_id") % 4
+    esc = F.regexp_replace(F.substring("text", 1, 100), r"[()\\]", "")
+    inv = F.col("doc_id").cast("string")
+    amt = F.concat(((F.col("doc_id") % 900) + 100).cast("string"), F.lit(".50"))
+    p1 = F.concat(
+        F.lit("Invoice #"), inv, F.lit("\nDate: 3/14/15\nTotal: "), amt
+    )
+    p2 = F.concat(F.lit("notes: "), esc)
+    pdf_plain = F.encode(
+        F.concat(
+            F.lit("%PDF-1.4\nBT\n(Invoice #"), inv,
+            F.lit(") Tj\n(Date: 3/14/15) Tj\n(Total: "), amt,
+            F.lit(") Tj\nET\nBT\n(notes: "), esc,
+            F.lit(") Tj\nET\n%%EOF"),
+        ),
+        "utf-8",
+    )
+
+    @F.pandas_udf("binary")
+    def _zpdf(p1s: pd.Series, p2s: pd.Series) -> pd.Series:
+        from extractthinker_spark.operators.rawbytes import make_fixture_pdf
+
+        return pd.Series(
+            [
+                None if a is None else make_fixture_pdf([a, b], compress=True)
+                for a, b in zip(p1s, p2s)
+            ],
+            dtype=object,
+        )
+
+    # NULL-mask: only the k==1 rows pay the Arrow round-trip
+    pdf_z = _zpdf(F.when(k == 1, p1), F.when(k == 1, p2))
+    html_b = F.encode(
+        F.concat(
+            F.lit("<html><head><script>var x=1;</script></head><body>"
+                  "<nav>Home | About</nav><article><p>"),
+            F.col("text"),
+            F.lit("</p></article><footer>f</footer></body></html>"),
+        ),
+        "utf-8",
+    )
+    txt_b = F.encode(
+        F.concat(
+            F.lit("DRIVER LICENSE\nName: Person "), inv,
+            F.lit("\nAge: "), (18 + F.col("doc_id") % 80).cast("string"),
+            F.lit("\nLicense No: "), inv,
+        ),
+        "utf-8",
+    )
+    raw = (
+        F.when(k == 0, pdf_plain)
+        .when(k == 1, pdf_z)
+        .when(k == 2, html_b)
+        .otherwise(txt_b)
+    )
+    proc = Process().load_raw(d.select("doc_id", raw.alias("raw")))
+    merged = doc_text(proc.extract_content(nest=True))
+    classified = proc.extractor.classify(merged)
+    return extract_scalar_fields(
+        classified,
+        keys=["doc_id", "classification", "confidence"],
+        contracts=proc.extractor._contracts(),
+    ).select("doc_id", "classification", "confidence", "field", "value")
+
+
+def _raw_pipeline_sql() -> str:
+    cols, (gm, case) = _classify_sql_exprs("content")
+    from extractthinker_spark.api import Extractor
+
+    selects = []
+    for contract, fields in Extractor()._contracts().items():
+        for fld, pat in fields.items():
+            pat_sql = pat.replace("'", "''")
+            selects.append(
+                f"SELECT doc_id, classification, confidence, "
+                f"'{fld}' AS field, "
+                f"regexp_extract(content, '{pat_sql}', 1) AS value "
+                f"FROM c WHERE classification = '{contract}'"
+            )
+    union = " UNION ALL ".join(selects)
+    return rf"""
+        WITH t AS (SELECT doc_id, doc_id % 4 AS k,
+               regexp_replace(substring(text, 1, 100), '[()\\]', '', 'g')
+                 AS esc,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+              FROM documents),
+        c0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CASE
+                 WHEN k IN (0, 1) THEN
+                   'Invoice #' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                   'Date: 3/14/15' || chr(10) ||
+                   'Total: ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '.50'
+                   || chr(10) || chr(10) || 'notes: ' || esc
+                 WHEN k = 2 THEN norm
+                 ELSE 'DRIVER LICENSE' || chr(10) ||
+                      'Name: Person ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                      'Age: ' || CAST(18 + doc_id % 80 AS VARCHAR) || chr(10) ||
+                      'License No: ' || CAST(doc_id AS VARCHAR)
+               END AS content
+              FROM t),
+        s AS (SELECT doc_id, content, {cols} FROM c0),
+        g AS (SELECT *, {gm} AS gm FROM s),
+        c AS (SELECT doc_id, content,
+              CASE WHEN gm <= 1 THEN 'Unknown' {case} END AS classification,
+              CAST(CASE WHEN gm <= 1 THEN 1 ELSE gm END AS INT) AS confidence
+              FROM g)
+        SELECT doc_id, classification, confidence, field, value
+        FROM ({union}) WHERE value <> ''
+    """
+
+
 def _q_parse_raw_spans(spark, sf):
     """Binary->spans decode path, value-level: PDF bytes constructed
     from the text column (parens/backslashes stripped so no escaping
@@ -1153,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_token_budget": _q_truncate,
         "classify_media": _q_classify_media,
         "detect_format_bytes": _q_detect_format_bytes,
+        "raw_pipeline_extract": _q_raw_pipeline,
         "concat_parts": _q_concat_parts,
         "parse_raw_spans": _q_parse_raw_spans,
         "media_meta_dims": _q_media_meta_dims,
@@ -2068,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
     sql["truncate_token_budget"] = _truncate_sql(40)
     sql["classify_media"] = _classify_media_sql()
     sql["detect_format_bytes"] = _detect_format_bytes_sql()
+    sql["raw_pipeline_extract"] = _raw_pipeline_sql()
     sql["concat_parts"] = _concat_parts_sql()
     sql["parse_raw_spans"] = _PARSE_RAW_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL

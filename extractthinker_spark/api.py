@@ -195,16 +195,24 @@ class Process:
         self._documents = documents
         return self
 
-    def load_raw(self, raw_docs: DataFrame, raw_col: str = "raw") -> Process:
+    def load_raw(
+        self,
+        raw_docs: DataFrame,
+        raw_col: str = "raw",
+        uri_col: str | None = None,
+    ) -> Process:
         """documents(doc_id, raw: binary) — sniff + decode into spans
         first (operators/rawbytes.py), then proceed as load(). The
         road in for corpora that arrive as file bytes (the reference's
-        loader.load(path) entry, document_loader.py:84-87)."""
+        loader.load(path) entry, document_loader.py:84-87).
+        ``uri_col`` forwards a source-path column whose extension
+        disambiguates text payloads (csv/tsv) and gz inner content —
+        the reference's extension-first dispatch."""
         from extractthinker_spark.operators.rawbytes import parse_raw_bytes
 
-        self._documents = parse_raw_bytes(raw_docs, raw_col=raw_col).select(
-            "doc_id", "spans"
-        )
+        self._documents = parse_raw_bytes(
+            raw_docs, raw_col=raw_col, uri_col=uri_col
+        ).select("doc_id", "spans")
         return self
 
     def extract_content(self, nest: bool = True) -> DataFrame:

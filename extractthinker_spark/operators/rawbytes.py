@@ -543,8 +543,30 @@ _SPANS_T = ("array<struct<kind:string,text:string,media_ref:string,"
 SHEET_HEADER = "\fSHEET {name}\n"
 
 
+def decode_csv_page(b: bytes, delimiter: str = ",") -> str:
+    """CSV/TSV → one spreadsheet-semantics page: each record's cells
+    joined with ' | ' (empty cells keep their placeholder), all-empty
+    records skipped, records joined with newlines — the same page
+    shape the xlsx path and the reference spreadsheet loader emit
+    (document_loader_spreadsheet.py:88-95). stdlib csv handles quoting
+    (embedded delimiters/newlines survive)."""
+    import csv as _csv
+    import io as _io
+
+    text = b.decode("utf-8", "replace")
+    rows = []
+    for rec in _csv.reader(_io.StringIO(text), delimiter=delimiter):
+        cells = [c if c is not None else "" for c in rec]
+        if any(cells):
+            rows.append(" | ".join(cells))
+    return "\n".join(rows)
+
+
 def parse_raw_bytes(
-    df: DataFrame, raw_col: str = "raw", key: str = "doc_id"
+    df: DataFrame,
+    raw_col: str = "raw",
+    key: str = "doc_id",
+    uri_col: str | None = None,
 ) -> DataFrame:
     """documents(key, raw binary) → (key, format, spans) — the road
     from a raw-bytes corpus into the span pipeline.
@@ -553,10 +575,23 @@ def parse_raw_bytes(
       pdf   → one ``pdf_text`` span per page with the ``\\fPAGE k\\n``
               header (split_pages-compatible);
       docx  → same, via the page-break convention;
+      xlsx  → one ``table`` span per sheet (``\\fSHEET`` header);
+      gz    → transparently decompressed (stdlib zlib) and the INNER
+              bytes decoded; the format column reports ``gz+<inner>``
+              (``detect_format_bytes`` routing still says ``gz`` — the
+              router sees the container, the decoder the content);
       html  → single ``html`` span (downstream strip_html handles it);
       txt/json/xml → paragraph-split ``text`` spans (txt-loader S3);
+      csv/tsv (by extension hint) → one spreadsheet-semantics ``table``
+              span (see decode_csv_page);
       media formats → one ``media`` span, ``media_ref='bytes:<fmt>'``;
       empty/unknown → zero spans.
+
+    ``uri_col`` names an optional source-path column: its extension is
+    the reference's PRIMARY dispatch signal (document_loader.py:49-82
+    routes by extension/MIME before content), used here to
+    disambiguate text payloads the magic sniff cannot (csv/tsv vs
+    plain txt) — content magic still wins whenever it is specific.
 
     Arrow-batched mapInPandas; bytes never leave the executor.
     """
@@ -570,9 +605,24 @@ def parse_raw_bytes(
     def span(kind, text, ref, off):
         return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
 
-    def spans_of(b: bytes | None) -> tuple[str, list]:
+    def spans_of(
+        b: bytes | None, ext: str | None, depth: int = 0
+    ) -> tuple[str, list]:
+        """``ext`` is the full suffix chain ('csv.gz'); the LAST
+        component drives format checks, the rest rides along so the gz
+        branch can recover the inner extension."""
         fmt = sniff_bytes(b)
+        last = ext.rsplit(".", 1)[-1] if ext else None
         out = []
+        if fmt == "gz" and depth < 2:
+            try:
+                inner = zlib.decompress(b, 15 + 32)  # gzip or zlib wrapper
+            except zlib.error:
+                return "gz", []
+            # data.csv.gz → inner chain data.csv
+            iext = ext.rsplit(".", 1)[0] if ext and "." in ext else None
+            ifmt, out = spans_of(inner, iext, depth + 1)
+            return f"gz+{ifmt}", out
         if fmt == "pdf":
             for i, page in enumerate(decode_pdf_pages(b)):
                 out.append(span("pdf_text", f"\fPAGE {i + 1}\n{page}", None, i))
@@ -587,6 +637,13 @@ def parse_raw_bytes(
                 )
         elif fmt == "html":
             out.append(span("html", b.decode("utf-8", "replace"), None, 0))
+        elif fmt == "txt" and last in ("csv", "tsv"):
+            fmt = last
+            out.append(
+                span("table",
+                     decode_csv_page(b, "\t" if last == "tsv" else ","),
+                     None, 0)
+            )
         elif fmt in ("txt", "json", "xml", "svg"):
             text = b.decode("utf-8", "replace")
             for i, para in enumerate(text.split("\n\n")):
@@ -598,8 +655,20 @@ def parse_raw_bytes(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             fmts, spans = [], []
-            for b in pdf[raw_col]:
-                fmt, sp = spans_of(b)
+            uris = pdf[uri_col] if uri_col is not None else None
+            for j, b in enumerate(pdf[raw_col]):
+                ext = None
+                if uris is not None:
+                    u = uris.iloc[j]
+                    base = u.rsplit("/", 1)[-1] if u else ""
+                    # keep 'tar.gz'-style double extensions intact so
+                    # the gz branch can recover the inner extension
+                    ext = (
+                        base.split(".", 1)[-1].lower()
+                        if "." in base
+                        else None
+                    )
+                fmt, sp = spans_of(b, ext)
                 fmts.append(fmt)
                 spans.append(sp)
             yield pd.DataFrame(

@@ -30,7 +30,13 @@ def load_round_snapshots() -> dict[int, dict]:
     return out
 
 
-def load_history_best() -> dict | None:
+def load_history_best(
+    since_ts: str | None = None, sf: str | None = None
+) -> dict | None:
+    """Min per query over history rows; ``since_ts`` (ISO string)
+    restricts to THIS round's runs so a previous round's fast outlier
+    can't mask a real regression, and ``sf`` drops runs at other scale
+    factors (tiny verify runs would otherwise fake improvements)."""
     path = os.path.join(REPO, "BENCH", "history.jsonl")
     if not os.path.exists(path):
         return None
@@ -39,6 +45,11 @@ def load_history_best() -> dict | None:
         for line in f:
             if line.strip():
                 rows.append(json.loads(line))
+    if sf:
+        rows = [r for r in rows if r.get("sf") == sf]
+    if since_ts:
+        newer = [r for r in rows if (r.get("ts") or "") >= since_ts]
+        rows = newer or rows  # all-older: fall back rather than empty
     if not rows:
         return None
     best: dict[str, float] = {}
@@ -54,12 +65,21 @@ def load_history_best() -> dict | None:
 
 def main() -> None:
     snaps = load_round_snapshots()
-    cur = load_history_best()
-    if not snaps or cur is None:
+    if not snaps:
         print("nothing to diff")
         return
     prev_round = max(snaps)
     prev = snaps[prev_round]
+    import time
+
+    snap_path = os.path.join(REPO, f"BENCH_r{prev_round:02d}.json")
+    since = time.strftime(
+        "%Y-%m-%dT%H:%M:%S", time.localtime(os.path.getmtime(snap_path))
+    )
+    cur = load_history_best(since_ts=since, sf=prev.get("sf"))
+    if cur is None:
+        print("nothing to diff")
+        return
     lines = [
         "# Per-query bench diff\n",
         f"Previous round snapshot: BENCH_r{prev_round:02d}.json "

@@ -267,6 +267,56 @@ def test_parse_raw_bytes_end_to_end(spark):
     assert got_pages == {("p1", 1): pages[0], ("p1", 2): pages[1]}
 
 
+def test_gzip_transparent_and_csv_ext_dispatch(spark):
+    """gz payloads decompress transparently (format 'gz+<inner>');
+    csv/tsv route by the reference's extension-first dispatch
+    (document_loader.py:49-82) into spreadsheet-semantics table spans;
+    without a uri hint csv bytes stay plain text (content sniff alone
+    cannot tell them apart)."""
+    import zlib as _zlib
+
+    from extractthinker_spark.operators.rawbytes import decode_csv_page
+
+    pages = ["Invoice #9\nTotal: 5", "page two"]
+    csv_bytes = b'a,b,c\n"x,1",2,3\n,,\nlast,,row'
+    def gz(data: bytes) -> bytes:
+        # real gzip container (magic 1F8B) via compressobj wbits=31
+        co = _zlib.compressobj(9, _zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+
+    rows = [
+        ("gz1", gz(make_fixture_pdf(pages)), "docs/report.pdf.gz"),
+        ("c1", csv_bytes, "data/table.csv"),
+        ("t1", b"k\t1\nv\t2", "data/table.tsv"),
+        ("n1", csv_bytes, None),                   # no hint -> txt
+        ("gz2", gz(b"hello\n\nworld"), "notes.txt.gz"),
+        ("gz3", b"\x1f\x8b\x08\x00 truncated garbage", "x.gz"),
+        ("gzc", gz(csv_bytes), "d/t.csv.gz"),      # inner ext recovered
+    ]
+
+    df = spark.createDataFrame(rows, "doc_id string, raw binary, uri string")
+    out = {
+        r["doc_id"]: r
+        for r in parse_raw_bytes(df, uri_col="uri").collect()
+    }
+    assert out["gz1"]["format"] == "gz+pdf"
+    assert [s["kind"] for s in out["gz1"]["spans"]] == ["pdf_text"] * 2
+    assert out["gz1"]["spans"][0]["text"] == f"\fPAGE 1\n{pages[0]}"
+    assert out["gz2"]["format"] == "gz+txt"
+    assert [s["text"] for s in out["gz2"]["spans"]] == ["hello", "world"]
+    assert out["gz3"]["format"] == "gz" and out["gz3"]["spans"] == []
+    assert out["c1"]["format"] == "csv"
+    assert out["c1"]["spans"][0]["kind"] == "table"
+    assert out["c1"]["spans"][0]["text"] == "a | b | c\nx,1 | 2 | 3\nlast |  | row"
+    assert out["t1"]["format"] == "tsv"
+    assert out["t1"]["spans"][0]["text"] == "k | 1\nv | 2"
+    assert out["n1"]["format"] == "txt"  # unchanged without the hint
+    assert out["gzc"]["format"] == "gz+csv"
+    assert out["gzc"]["spans"][0]["kind"] == "table"
+    # pure-function twin
+    assert decode_csv_page(csv_bytes) == "a | b | c\nx,1 | 2 | 3\nlast |  | row"
+
+
 def test_xlsx_golden_decode(spark):
     """Spreadsheet loader semantics (document_loader_spreadsheet.py:
     55-111): one page per sheet, ' | '-joined rows keeping empty-cell

@@ -835,6 +835,10 @@ RAW_FORMAT_CASES: list[tuple[int, str, str, str]] = [
      + "PowerPoint Document".encode("utf-16-le").hex().upper(),
      ""),
     (19, "ole2", "D0CF11E0A1B11AE1", ""),
+    (20, "odt", "504B0304",
+     "mimetypeapplication/vnd.oasis.opendocument.text PK"),
+    (21, "ods", "504B0304",
+     "mimetypeapplication/vnd.oasis.opendocument.spreadsheet PK"),
 ]
 
 

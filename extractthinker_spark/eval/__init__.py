@@ -1,3 +1,10 @@
+from extractthinker_spark.eval.comparative import (
+    build_comparative_report,
+    comparative_document_accuracy,
+    comparative_field_metrics,
+    comparative_report_to_markdown,
+    join_predictions,
+)
 from extractthinker_spark.eval.field_compare import (
     exact_match,
     fuzzy_match,
@@ -15,6 +22,11 @@ from extractthinker_spark.eval.metrics import (
 )
 
 __all__ = [
+    "build_comparative_report",
+    "comparative_document_accuracy",
+    "comparative_field_metrics",
+    "comparative_report_to_markdown",
+    "join_predictions",
     "exact_match",
     "fuzzy_match",
     "fuzzy_ratio",

@@ -172,6 +172,8 @@ _ZIP_MARKERS = [
     ("docx", "word/"),
     ("xlsx", "xl/"),
     ("pptx", "ppt/"),
+    ("odt", "mimetypeapplication/vnd.oasis.opendocument.text"),
+    ("ods", "mimetypeapplication/vnd.oasis.opendocument.spreadsheet"),
     ("epub", "mimetypeapplication/epub"),
 ]
 # OLE2/CFB directory stream names (UTF-16LE in the directory sectors):
@@ -465,18 +467,118 @@ def decode_pdf_pages(b: bytes) -> list[str]:
     return pages
 
 
+_XML_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+}
+_XML_REF_RE = re.compile(r"&(amp|lt|gt|quot|apos|#x[0-9a-fA-F]{1,6}|#\d{1,7});")
+
+
+def _xml_unescape(s: str) -> str:
+    """XML 1.0 character references — the 5 predefined entities plus
+    numeric refs (XML has no HTML named-entity zoo, so html.unescape
+    would be WRONG here: ``&eacute;`` must pass through literally)."""
+    if "&" not in s:
+        return s
+
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body in _XML_ENTITIES:
+            return _XML_ENTITIES[body]
+        cp = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+        return chr(cp) if 0 < cp <= 0x10FFFF else "�"
+
+    return _XML_REF_RE.sub(sub, s)
+
+
 def decode_docx_pages(b: bytes) -> list[str]:
     """Page texts from a docx zip: ``word/document.xml`` ``<w:t>`` runs,
     split on explicit page breaks (document_loader_doc2txt.py:125-127
-    page_separator convention)."""
+    page_separator convention). Run text XML-unescapes."""
     with zipfile.ZipFile(BytesIO(b)) as z:
         xml = z.read("word/document.xml").decode("utf-8")
     pages = []
     for chunk in xml.split(_DOCX_PAGEBREAK):
         runs = _DOCX_WT_RE.findall(chunk)
-        text = "\n".join(r for r in runs if r)
+        text = "\n".join(_xml_unescape(r) for r in runs if r)
         if text:
             pages.append(text)
+    return pages
+
+
+_DRAW_T_RE = re.compile(r"<a:t(?:\s[^>]*)?>(.*?)</a:t>", re.DOTALL)
+_SLIDE_NAME_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+
+
+def decode_pptx_pages(b: bytes) -> list[str]:
+    """One page per slide from a pptx zip: ``ppt/slides/slideN.xml``
+    DrawingML ``<a:t>`` runs joined with newlines, slides in numeric
+    order — the page shape the reference gets from markitdown's pptx
+    converter (document_loader_markitdown.py loader surface)."""
+    pages = []
+    with zipfile.ZipFile(BytesIO(b)) as z:
+        slides = sorted(
+            (
+                (int(m.group(1)), n)
+                for n in z.namelist()
+                if (m := _SLIDE_NAME_RE.match(n))
+            ),
+        )
+        for _, name in slides:
+            xml = z.read(name).decode("utf-8")
+            text = "\n".join(
+                _xml_unescape(r) for r in _DRAW_T_RE.findall(xml) if r
+            )
+            if text:
+                pages.append(text)
+    return pages
+
+
+_ODT_P_RE = re.compile(r"<text:[ph](?:\s[^>]*)?>(.*?)</text:[ph]>", re.DOTALL)
+_ODS_TABLE_RE = re.compile(
+    r'<table:table\s[^>]*table:name="([^"]*)"[^>]*>(.*?)</table:table>',
+    re.DOTALL,
+)
+_ODS_ROW_RE = re.compile(r"<table:table-row(?:\s[^>]*)?>(.*?)</table:table-row>",
+                         re.DOTALL)
+_ODS_CELL_RE = re.compile(
+    r"<table:table-cell(?:\s[^>]*)?>(.*?)</table:table-cell>"
+    r"|<table:table-cell(?:\s[^>]*)?/>",
+    re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def decode_odt_pages(b: bytes) -> list[str]:
+    """OpenDocument text → one page: ``content.xml`` paragraph/heading
+    elements, inner markup stripped, XML-unescaped, joined with
+    newlines (ODF has no hard page markers in content — the reference's
+    odt path produces a single page the same way)."""
+    with zipfile.ZipFile(BytesIO(b)) as z:
+        xml = z.read("content.xml").decode("utf-8")
+    paras = [
+        _xml_unescape(_TAG_RE.sub("", p)) for p in _ODT_P_RE.findall(xml)
+    ]
+    text = "\n".join(p for p in paras if p)
+    return [text] if text else []
+
+
+def decode_ods_sheets(b: bytes) -> list[tuple[str, str]]:
+    """(sheet_name, content) pages from an OpenDocument spreadsheet —
+    the same page semantics as decode_xlsx_sheets: each row's cells
+    joined with ' | ', all-empty rows skipped."""
+    with zipfile.ZipFile(BytesIO(b)) as z:
+        xml = z.read("content.xml").decode("utf-8")
+    pages = []
+    for name, body in _ODS_TABLE_RE.findall(xml):
+        rows = []
+        for row_xml in _ODS_ROW_RE.findall(body):
+            cells = [
+                _xml_unescape(_TAG_RE.sub("", c)) if c else ""
+                for c in _ODS_CELL_RE.findall(row_xml)
+            ]
+            if any(cells):
+                rows.append(" | ".join(cells))
+        pages.append((_xml_unescape(name), "\n".join(rows)))
     return pages
 
 
@@ -521,12 +623,13 @@ def decode_xlsx_sheets(b: bytes) -> list[tuple[str, str]]:
                     t = t.group(1) if t else None
                     if t == "inlineStr":
                         m = _IS_T_RE.search(body)
-                        cells.append(m.group(1) if m else "")
+                        cells.append(_xml_unescape(m.group(1)) if m else "")
                     elif t == "s":
                         m = _V_RE.search(body)
                         idx = int(m.group(1)) if m else -1
                         cells.append(
-                            shared[idx] if 0 <= idx < len(shared) else ""
+                            _xml_unescape(shared[idx])
+                            if 0 <= idx < len(shared) else ""
                         )
                     else:
                         m = _V_RE.search(body)
@@ -626,11 +729,17 @@ def parse_raw_bytes(
         if fmt == "pdf":
             for i, page in enumerate(decode_pdf_pages(b)):
                 out.append(span("pdf_text", f"\fPAGE {i + 1}\n{page}", None, i))
-        elif fmt == "docx":
-            for i, page in enumerate(decode_docx_pages(b)):
+        elif fmt in ("docx", "pptx", "odt"):
+            decoder = {
+                "docx": decode_docx_pages,
+                "pptx": decode_pptx_pages,
+                "odt": decode_odt_pages,
+            }[fmt]
+            for i, page in enumerate(decoder(b)):
                 out.append(span("pdf_text", f"\fPAGE {i + 1}\n{page}", None, i))
-        elif fmt == "xlsx":
-            for i, (name, content) in enumerate(decode_xlsx_sheets(b)):
+        elif fmt in ("xlsx", "ods"):
+            decoder = decode_xlsx_sheets if fmt == "xlsx" else decode_ods_sheets
+            for i, (name, content) in enumerate(decoder(b)):
                 out.append(
                     span("table", SHEET_HEADER.format(name=name) + content,
                          None, i)
@@ -751,4 +860,79 @@ def make_fixture_docx(pages: list[str]) -> bytes:
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
         z.writestr("[Content_Types].xml", "<Types/>")
         z.writestr("word/document.xml", xml)
+    return buf.getvalue()
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def make_fixture_pptx(pages: list[str]) -> bytes:
+    """Deterministic in-memory pptx (real zip, one slideN.xml per
+    page, DrawingML text runs)."""
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("ppt/presentation.xml", "<p:presentation/>")
+        for i, page in enumerate(pages):
+            runs = "".join(
+                f"<a:p><a:r><a:t>{_xml_escape(line)}</a:t></a:r></a:p>"
+                for line in page.split("\n")
+            )
+            z.writestr(
+                f"ppt/slides/slide{i + 1}.xml",
+                f"<p:sld><p:txBody>{runs}</p:txBody></p:sld>",
+            )
+    return buf.getvalue()
+
+
+def make_fixture_odt(paragraphs: list[str]) -> bytes:
+    """Deterministic in-memory odt (real zip with the ODF mimetype
+    entry FIRST and STORED, as the spec requires — that is what the
+    zip-marker sniff keys on)."""
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        body = "".join(
+            f"<text:p>{_xml_escape(p)}</text:p>" for p in paragraphs
+        )
+        z.writestr(
+            "content.xml",
+            f"<office:document-content><office:body><office:text>{body}"
+            "</office:text></office:body></office:document-content>",
+        )
+    return buf.getvalue()
+
+
+def make_fixture_ods(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
+    """Deterministic in-memory ods (real zip, mimetype-first)."""
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr(
+            "mimetype", "application/vnd.oasis.opendocument.spreadsheet"
+        )
+        tables = ""
+        for name, rows in sheets:
+            row_xml = "".join(
+                "<table:table-row>"
+                + "".join(
+                    f"<table:table-cell><text:p>{_xml_escape(c)}</text:p>"
+                    "</table:table-cell>"
+                    for c in row
+                )
+                + "</table:table-row>"
+                for row in rows
+            )
+            tables += (
+                f'<table:table table:name="{_xml_escape(name)}">'
+                f"{row_xml}</table:table>"
+            )
+        z.writestr(
+            "content.xml",
+            f"<office:document-content><office:body><office:spreadsheet>"
+            f"{tables}</office:spreadsheet></office:body>"
+            "</office:document-content>",
+        )
     return buf.getvalue()

@@ -68,6 +68,12 @@ CASES: list[tuple[bytes | None, str]] = [
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
      + "PowerPoint Document".encode("utf-16-le"), "ppt"),
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"no directory here", "ole2"),
+    # ODF containers: zip with the mimetype entry first+stored, so the
+    # marker is contiguous in the raw bytes
+    (b"PK\x03\x04" + b"\x00" * 22
+     + b"mimetypeapplication/vnd.oasis.opendocument.text", "odt"),
+    (b"PK\x03\x04" + b"\x00" * 22
+     + b"mimetypeapplication/vnd.oasis.opendocument.spreadsheet", "ods"),
     # regression (ADVICE r2): a nibble-shifted coincidental occurrence
     # of the 'word/' marker hex (odd hex offset) BEFORE the real
     # byte-aligned marker must not mask it — locate()-based parity
@@ -265,6 +271,62 @@ def test_parse_raw_bytes_end_to_end(spark):
         for r in pages_from_documents(docs).collect()
     }
     assert got_pages == {("p1", 1): pages[0], ("p1", 2): pages[1]}
+
+
+def test_pptx_odt_ods_golden_decode(spark):
+    """Office/ODF decoders: pptx slides → pages, odt paragraphs → one
+    page, ods tables → spreadsheet-semantics sheets; XML entities
+    decode (the 5 predefined + numeric, NOT the HTML zoo); real zip
+    fixtures sniff to their formats and reach span form."""
+    from extractthinker_spark.operators.rawbytes import (
+        decode_odt_pages,
+        decode_ods_sheets,
+        decode_pptx_pages,
+        make_fixture_odt,
+        make_fixture_ods,
+        make_fixture_pptx,
+    )
+
+    slides = ["Quarterly Plan\nQ1 & Q2", "Budget <draft>"]
+    pptx = make_fixture_pptx(slides)
+    assert sniff_bytes(pptx) == "pptx"
+    assert decode_pptx_pages(pptx) == slides
+
+    odt = make_fixture_odt(["Title & intro", "body <text>"])
+    assert sniff_bytes(odt) == "odt"
+    assert decode_odt_pages(odt) == ["Title & intro\nbody <text>"]
+
+    ods = make_fixture_ods(
+        [("Budget", [["Income", "100"], ["", ""], ["Expense", "60"]]),
+         ("Notes", [["a&b"]])]
+    )
+    assert sniff_bytes(ods) == "ods"
+    assert decode_ods_sheets(ods) == [
+        ("Budget", "Income | 100\nExpense | 60"),
+        ("Notes", "a&b"),
+    ]
+
+    # end-to-end: all three reach spans with the right kinds/headers
+    df = spark.createDataFrame(
+        [("p", pptx), ("o", odt), ("s", ods)], "doc_id string, raw binary"
+    )
+    out = {r["doc_id"]: r for r in parse_raw_bytes(df).collect()}
+    assert out["p"]["format"] == "pptx"
+    assert [s["kind"] for s in out["p"]["spans"]] == ["pdf_text"] * 2
+    assert out["p"]["spans"][0]["text"] == f"\fPAGE 1\n{slides[0]}"
+    assert out["o"]["format"] == "odt"
+    assert out["o"]["spans"][0]["text"].startswith("\fPAGE 1\nTitle & intro")
+    assert out["s"]["format"] == "ods"
+    assert out["s"]["spans"][0]["kind"] == "table"
+    assert out["s"]["spans"][0]["text"].startswith("\fSHEET Budget\n")
+
+
+def test_xml_unescape_strictness():
+    from extractthinker_spark.operators.rawbytes import _xml_unescape
+
+    assert _xml_unescape("a &amp; b &lt;c&gt; &#65;&#x42;") == "a & b <c> AB"
+    # HTML-only named entities must pass through untouched in XML
+    assert _xml_unescape("caf&eacute; &nbsp;") == "caf&eacute; &nbsp;"
 
 
 def test_gzip_transparent_and_csv_ext_dispatch(spark):

@@ -964,6 +964,69 @@ def _classify_media_sql() -> str:
     """
 
 
+def _q_table_detect(spark, sf):
+    """pdfplumber-'text'-strategy table detection (S6,
+    document_loader_pdfplumber.py:138-177): per doc a 3x3 grid of word
+    boxes is constructed from the text tokens with doc_id-derived
+    positional jitter BELOW the clustering tolerances, the REAL
+    detector (row/column clustering over boxes) recovers the grid, and
+    the oracle emits the by-construction cells — so the clustering
+    must be exactly tolerance-correct to go green."""
+    from extractthinker_spark.operators.layout import table_from_words_udf
+
+    d = _tp(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    toks = F.split(norm, " ")
+    k = F.col("doc_id")
+    words = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.coalesce(
+                                F.element_at(toks, 3 * r + c + 1),
+                                F.lit(f"w{3 * r + c}"),
+                            ).alias("text"),
+                            (F.lit(c * 120.0)
+                             + (k * (r * 3 + c + 1)) % 8).cast("double")
+                            .alias("x0"),
+                            (F.lit(r * 30.0)
+                             + (k + r * 3 + c) % 5).cast("double")
+                            .alias("top"),
+                        )
+                        for c in range(3)
+                    ]
+                )
+                for r in range(3)
+            ]
+        )
+    )
+    tbl = d.select(
+        "doc_id", table_from_words_udf(words).alias("t")
+    )
+    rows = tbl.select("doc_id", F.posexplode("t").alias("r", "rowv"))
+    return rows.select(
+        "doc_id", "r", F.posexplode("rowv").alias("c", "cell")
+    )
+
+
+def _table_detect_sql() -> str:
+    return r"""
+        WITH n AS (SELECT doc_id,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+              FROM documents),
+        w AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n),
+        g AS (SELECT doc_id, r.r, c.c FROM w,
+              (SELECT unnest(generate_series(0, 2)) AS r) r,
+              (SELECT unnest(generate_series(0, 2)) AS c) c)
+        SELECT g.doc_id, CAST(g.r AS INT) AS r, CAST(g.c AS INT) AS c,
+               coalesce(w.toks[3 * g.r + g.c + 1],
+                        'w' || CAST(3 * g.r + g.c AS VARCHAR)) AS cell
+        FROM g JOIN w ON g.doc_id = w.doc_id
+    """
+
+
 def _q_raw_pipeline(spark, sf):
     """Raw-bytes FLAGSHIP: Process.load_raw end-to-end over a mixed-
     format constructed corpus — sniff → decode (incl. a REAL
@@ -1291,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_media": _q_classify_media,
         "detect_format_bytes": _q_detect_format_bytes,
         "raw_pipeline_extract": _q_raw_pipeline,
+        "table_detect_cells": _q_table_detect,
         "concat_parts": _q_concat_parts,
         "parse_raw_spans": _q_parse_raw_spans,
         "media_meta_dims": _q_media_meta_dims,
@@ -2207,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
     sql["classify_media"] = _classify_media_sql()
     sql["detect_format_bytes"] = _detect_format_bytes_sql()
     sql["raw_pipeline_extract"] = _raw_pipeline_sql()
+    sql["table_detect_cells"] = _table_detect_sql()
     sql["concat_parts"] = _concat_parts_sql()
     sql["parse_raw_spans"] = _PARSE_RAW_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL

@@ -117,6 +117,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "concat_parts",
         "parse_raw_spans",
         "raw_pipeline_extract",
+        "table_detect_cells",
         "media_meta_dims",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))

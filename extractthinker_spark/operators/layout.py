@@ -164,6 +164,92 @@ def labeled_blocks_to_markdown(blocks: Column) -> Column:
     return F.array_join(F.transform(blocks, one), "\n\n")
 
 
+def words_to_table(
+    words: list[dict],
+    x_tol: float = 10.0,
+    y_tol: float = 10.0,
+) -> list[list[str]]:
+    """Table structure from word boxes — the pdfplumber
+    ``vertical_strategy='text'`` / ``horizontal_strategy='text'``
+    detection the reference's PDFPlumber loader relies on
+    (document_loader_pdfplumber.py:138-177; settings ``x/y tolerance
+    10``), re-derived from first principles:
+
+      * rows = words clustered on ``top`` (gap > y_tol starts a row);
+      * column edges = distinct word LEFT positions clustered with
+        x_tol (text-alignment strategy: columns exist where text
+        aligns);
+      * each word lands in its nearest column; multi-word cells join
+        with spaces in x order;
+      * reference cleaning applied: cells stripped, all-empty rows
+        dropped (pdfplumber loader :159-170).
+
+    Words: dicts with ``text, x0, top`` (``x1/bottom`` optional,
+    accepted for pdfplumber word-shape compatibility). Pure function;
+    the Spark entry is :func:`table_from_words_udf`.
+    """
+    ws = [w for w in words or [] if (w.get("text") or "").strip()]
+    if not ws:
+        return []
+    # rows: cluster on top
+    ordered = sorted(ws, key=lambda w: (w["top"], w["x0"]))
+    rows: list[list[dict]] = [[ordered[0]]]
+    for w in ordered[1:]:
+        if w["top"] - rows[-1][-1]["top"] > y_tol:
+            rows.append([w])
+        else:
+            rows[-1].append(w)
+    # columns: cluster distinct left edges across the whole table
+    col_reps: list[float] = []
+    for x in sorted(w["x0"] for w in ws):
+        if not col_reps or x - col_reps[-1] > x_tol:
+            col_reps.append(x)
+
+    import bisect
+
+    def col_of(x: float) -> int:
+        i = bisect.bisect_right(col_reps, x)
+        if i == 0:
+            return 0
+        if i == len(col_reps):
+            return i - 1
+        return i - 1 if x - col_reps[i - 1] <= col_reps[i] - x else i
+
+    table = []
+    for row_words in rows:
+        cells = ["" for _ in col_reps]
+        for w in sorted(row_words, key=lambda w: w["x0"]):
+            ci = col_of(w["x0"])
+            t = w["text"].strip()
+            cells[ci] = f"{cells[ci]} {t}".strip() if cells[ci] else t
+        table.append(cells)
+    return [r for r in table if any(c != "" for c in r)]
+
+
+WORDS_SCHEMA = "array<struct<text:string, x0:double, top:double>>"
+
+
+def table_from_words_udf(
+    words: Column, x_tol: float = 10.0, y_tol: float = 10.0
+) -> Column:
+    """Arrow-batched column form of :func:`words_to_table`:
+    array<struct<text,x0,top>> → array<array<string>> (rows of
+    cells). Compose with :func:`table_to_markdown` for the S6 render
+    path. Narrow map, no shuffle; one page's words per row."""
+
+    @F.pandas_udf("array<array<string>>")
+    def _detect(pages: pd.Series) -> pd.Series:
+        return pages.map(
+            lambda ws: words_to_table(
+                [dict(w) for w in ws], x_tol=x_tol, y_tol=y_tol
+            )
+            if ws is not None
+            else [],
+        )
+
+    return _detect(words)
+
+
 def table_to_markdown(table: Column) -> Column:
     """array<array<string>> (rows of cells) → markdown table: first row
     is the header, then the |---| separator, then data rows

@@ -98,6 +98,59 @@ def test_segment_pages_spark(spark):
     assert again == got
 
 
+def test_words_to_table_text_strategy():
+    """pdfplumber 'text' strategy semantics (S6): rows from top
+    clustering, columns from aligned left edges, multi-word cells join
+    in x order, empty cells keep placeholders, all-empty rows drop."""
+    from extractthinker_spark.operators.layout import words_to_table
+
+    def w(text, x0, top):
+        return {"text": text, "x0": x0, "top": top}
+
+    # header: two words land in the SAME column cluster (120/121) ->
+    # one cell "Unit Price"; third column at 240
+    words = [
+        w("Item", 0, 0), w("Unit", 120, 2), w("Price", 121, 3),
+        w("Qty", 240, 1),
+        # data row 1, out of input order on purpose
+        w("4", 243, 31), w("Widget", 2, 30), w("9.50", 118, 33),
+        # data row 2: middle cell empty
+        w("Bolt", 1, 62), w("7", 241, 60),
+        # whitespace-only word is ignored entirely
+        w("   ", 120, 61),
+    ]
+    assert words_to_table(words) == [
+        ["Item", "Unit Price", "Qty"],
+        ["Widget", "9.50", "4"],
+        ["Bolt", "", "7"],
+    ]
+    assert words_to_table([]) == []
+    # y_tol merges nearby lines; a coarser tolerance merges rows
+    assert len(words_to_table(words, y_tol=100.0)) == 1
+
+
+def test_table_from_words_udf_and_markdown(spark):
+    from extractthinker_spark.operators.layout import (
+        WORDS_SCHEMA,
+        table_from_words_udf,
+        table_to_markdown,
+    )
+
+    rows = [
+        ("d1", [("A", 0.0, 0.0), ("B", 100.0, 1.0),
+                ("1", 2.0, 30.0), ("2", 101.0, 31.0)]),
+        ("d2", []),
+    ]
+    df = spark.createDataFrame(rows, f"doc_id string, words {WORDS_SCHEMA}")
+    out = df.select(
+        "doc_id", table_from_words_udf(F.col("words")).alias("t")
+    ).select("doc_id", "t", table_to_markdown(F.col("t")).alias("md"))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert [list(r) for r in got["d1"]["t"]] == [["A", "B"], ["1", "2"]]
+    assert got["d1"]["md"] == "| A | B |\n|---|---|\n| 1 | 2 |"
+    assert list(got["d2"]["t"]) == [] and got["d2"]["md"] == ""
+
+
 def test_markdown_assembly(spark):
     from extractthinker_spark.operators.layout import (
         LABELED_BLOCK_SCHEMA,

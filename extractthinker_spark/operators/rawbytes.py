@@ -640,6 +640,137 @@ def decode_xlsx_sheets(b: bytes) -> list[tuple[str, str]]:
         return pages
 
 
+# RTF destinations whose whole group is non-text (fonts, colors,
+# styles, metadata, embedded images)
+_RTF_SKIP_DESTS = frozenset(
+    ["fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+     "header", "footer", "headerl", "headerr", "footerl", "footerr"]
+)
+_RTF_CW_RE = re.compile(r"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\(.)")
+
+
+def decode_rtf_pages(b: bytes) -> list[str]:
+    """Plain text from RTF — a from-scratch reader of the public RTF
+    spec subset every word processor emits: group stack, control
+    words, ``\\'hh`` hex escapes, ``\\uN`` unicode (with the ``\\ucN``
+    fallback-skip convention), paragraph/line/tab controls, and
+    skip-entire-group destinations (font/color/style tables, info,
+    pict). One page per ``\\page`` control (the docx page-break
+    convention)."""
+    s = b.decode("latin-1", "replace")
+    out: list[str] = []
+    i, n = 0, len(s)
+    skip_depth = 0        # >0: inside a skipped destination group
+    depth = 0
+    uc_stack = [1]        # \ucN per group: chars to skip after \uN
+    pending_skip = 0      # chars to skip (unicode fallback)
+    while i < n:
+        c = s[i]
+        if pending_skip and skip_depth == 0 and c not in "{}\\":
+            pending_skip -= 1
+            i += 1
+            continue
+        if c == "{":
+            depth += 1
+            uc_stack.append(uc_stack[-1])
+            if skip_depth:
+                skip_depth += 1
+            elif s.startswith(r"{\*", i):
+                skip_depth = 1
+            i += 1
+            continue
+        if c == "}":
+            depth = max(0, depth - 1)
+            if len(uc_stack) > 1:
+                uc_stack.pop()
+            if skip_depth:
+                skip_depth -= 1
+            i += 1
+            continue
+        if c == "\\":
+            m = _RTF_CW_RE.match(s, i)
+            if not m:
+                i += 1
+                continue
+            i = m.end()
+            word, param, hexcode, esc = m.groups()
+            if skip_depth:
+                continue
+            if hexcode is not None:
+                if pending_skip:
+                    pending_skip -= 1
+                else:
+                    out.append(chr(int(hexcode, 16)))
+            elif esc is not None:
+                if esc in "\\{}":
+                    out.append(esc)
+                elif esc == "~":
+                    out.append(" ")     # non-breaking space
+                elif esc in "\n\r":
+                    out.append("\n")    # escaped newline = \par
+            elif word is not None:
+                if word in _RTF_SKIP_DESTS:
+                    skip_depth = 1
+                elif word == "uc":
+                    uc_stack[-1] = int(param or 1)
+                elif word == "u":
+                    cp = int(param or 0)
+                    out.append(chr(cp + 0x10000 if cp < 0 else cp))
+                    pending_skip = uc_stack[-1]
+                elif word in ("par", "line", "sect"):
+                    out.append("\n")
+                elif word == "tab":
+                    out.append("\t")
+                elif word == "page":
+                    out.append("\f")
+            continue
+        if skip_depth == 0 and c not in "\r\n":
+            out.append(c)
+        i += 1
+    text = "".join(out)
+    return [p.strip("\n") for p in text.split("\f") if p.strip()]
+
+
+_OPF_PATH_RE = re.compile(r'full-path="([^"]+)"')
+_OPF_ITEM_RE = re.compile(r'<item\s[^>]*/?>', re.DOTALL)
+_OPF_ATTR_RE = re.compile(r'\b(id|href)="([^"]*)"')
+_OPF_IDREF_RE = re.compile(r'<itemref\s[^>]*idref="([^"]*)"')
+
+
+def decode_epub_chapters(b: bytes) -> list[str]:
+    """Chapter HTML documents from an epub, in SPINE order when the
+    OPF package document is parseable (META-INF/container.xml
+    full-path → manifest id→href → spine itemref order — the EPUB OCF
+    standard), falling back to sorted xhtml entry names. Returns raw
+    HTML strings; downstream boilerplate strip handles them like any
+    html span."""
+    with zipfile.ZipFile(BytesIO(b)) as z:
+        names = set(z.namelist())
+        order: list[str] = []
+        try:
+            container = z.read("META-INF/container.xml").decode("utf-8")
+            opf_path = _OPF_PATH_RE.search(container).group(1)
+            opf = z.read(opf_path).decode("utf-8")
+            root = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+            hrefs = {}
+            for item in _OPF_ITEM_RE.findall(opf):
+                attrs = dict(_OPF_ATTR_RE.findall(item))
+                if "id" in attrs and "href" in attrs:
+                    hrefs[attrs["id"]] = root + attrs["href"]
+            order = [
+                hrefs[idref]
+                for idref in _OPF_IDREF_RE.findall(opf)
+                if idref in hrefs and hrefs[idref] in names
+            ]
+        except (KeyError, AttributeError):
+            pass
+        if not order:
+            order = sorted(
+                n for n in names if n.endswith((".xhtml", ".html", ".htm"))
+            )
+        return [z.read(n).decode("utf-8", "replace") for n in order]
+
+
 _SPANS_T = ("array<struct<kind:string,text:string,media_ref:string,"
             "offset:int>>")
 # sheet pages carry their name in a header, like \fPAGE for pdf pages
@@ -729,14 +860,18 @@ def parse_raw_bytes(
         if fmt == "pdf":
             for i, page in enumerate(decode_pdf_pages(b)):
                 out.append(span("pdf_text", f"\fPAGE {i + 1}\n{page}", None, i))
-        elif fmt in ("docx", "pptx", "odt"):
+        elif fmt in ("docx", "pptx", "odt", "rtf"):
             decoder = {
                 "docx": decode_docx_pages,
                 "pptx": decode_pptx_pages,
                 "odt": decode_odt_pages,
+                "rtf": decode_rtf_pages,
             }[fmt]
             for i, page in enumerate(decoder(b)):
                 out.append(span("pdf_text", f"\fPAGE {i + 1}\n{page}", None, i))
+        elif fmt == "epub":
+            for i, chapter in enumerate(decode_epub_chapters(b)):
+                out.append(span("html", chapter, None, i))
         elif fmt in ("xlsx", "ods"):
             decoder = decode_xlsx_sheets if fmt == "xlsx" else decode_ods_sheets
             for i, (name, content) in enumerate(decoder(b)):

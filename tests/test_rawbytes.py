@@ -321,6 +321,74 @@ def test_pptx_odt_ods_golden_decode(spark):
     assert out["s"]["spans"][0]["text"].startswith("\fSHEET Budget\n")
 
 
+def test_rtf_decode(spark):
+    """RTF reader subset: control words, hex/unicode escapes with the
+    \\uc fallback-skip convention, destination-group skipping, page
+    splits, literal brace escapes."""
+    from extractthinker_spark.operators.rawbytes import decode_rtf_pages
+
+    rtf = (
+        rb"{\rtf1\ansi{\fonttbl{\f0 Times New Roman;}}"
+        rb"{\colortbl;\red0\green0\blue0;}"
+        rb"{\*\generator Acme Writer 1.0;}"
+        rb"\uc1 Invoice \'23 42\par Total: 99.50\line"
+        rb"\u8212 ? dash \{escaped\}\page Second page\tab here\par}"
+    )
+    pages = decode_rtf_pages(rtf)
+    assert pages == [
+        "Invoice # 42\nTotal: 99.50\n— dash {escaped}",
+        "Second page\there",
+    ]
+    assert sniff_bytes(rtf) == "rtf"
+    # end-to-end: rtf reaches pdf_text page spans
+    df = spark.createDataFrame([("r1", rtf)], "doc_id string, raw binary")
+    out = parse_raw_bytes(df).collect()[0]
+    assert out["format"] == "rtf"
+    assert [s["kind"] for s in out["spans"]] == ["pdf_text"] * 2
+    assert out["spans"][1]["text"] == "\fPAGE 2\nSecond page\there"
+
+
+def test_epub_decode(spark):
+    """epub chapters come back in SPINE order from the OPF package
+    doc (not alphabetical), as html spans for the strip pipeline."""
+    import zipfile as _zf
+    from io import BytesIO as _B
+
+    from extractthinker_spark.operators.rawbytes import (
+        decode_epub_chapters,
+    )
+
+    buf = _B()
+    with _zf.ZipFile(buf, "w", _zf.ZIP_STORED) as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr(
+            "META-INF/container.xml",
+            '<container><rootfiles><rootfile '
+            'full-path="OEBPS/content.opf"/></rootfiles></container>',
+        )
+        z.writestr(
+            "OEBPS/content.opf",
+            '<package><manifest>'
+            '<item id="c2" href="zz_first.xhtml" media-type="application/xhtml+xml"/>'
+            '<item id="c1" href="aa_second.xhtml" media-type="application/xhtml+xml"/>'
+            "</manifest><spine>"
+            '<itemref idref="c2"/><itemref idref="c1"/>'
+            "</spine></package>",
+        )
+        z.writestr("OEBPS/zz_first.xhtml", "<html><p>one</p></html>")
+        z.writestr("OEBPS/aa_second.xhtml", "<html><p>two</p></html>")
+    epub = buf.getvalue()
+    assert sniff_bytes(epub) == "epub"
+    assert decode_epub_chapters(epub) == [
+        "<html><p>one</p></html>", "<html><p>two</p></html>"
+    ]
+    df = spark.createDataFrame([("e1", epub)], "doc_id string, raw binary")
+    out = parse_raw_bytes(df).collect()[0]
+    assert out["format"] == "epub"
+    assert [s["kind"] for s in out["spans"]] == ["html", "html"]
+    assert out["spans"][0]["text"] == "<html><p>one</p></html>"
+
+
 def test_xml_unescape_strictness():
     from extractthinker_spark.operators.rawbytes import _xml_unescape
 

@@ -964,6 +964,95 @@ def _classify_media_sql() -> str:
     """
 
 
+def _q_repetition_features(spark, sf):
+    """Gopher-style repetition quality signals over a constructed text
+    with PLANTED line duplicates (even doc_ids repeat their first
+    line; every doc repeats it once more at the end), so all four
+    fractions are non-trivial and the oracle replays line grouping,
+    bigram argmax (ties → lexicographically greatest) and trigram
+    repeat-char accounting exactly."""
+    from extractthinker_spark.functions.textstats import repetition_features
+
+    d = _tp(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    p1 = F.substring(norm, 1, 40)
+    p2 = F.substring(norm, 41, 40)
+    p3 = F.substring(norm, 81, 40)
+    txt = F.concat_ws(
+        "\n", p1, p2,
+        F.when(F.col("doc_id") % 2 == 0, p1).otherwise(p3), p1,
+    )
+    return repetition_features(d.select("doc_id", txt.alias("text")))
+
+
+def _repetition_sql() -> str:
+    return r"""
+        WITH n AS (SELECT doc_id,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+              FROM documents),
+        t AS (SELECT doc_id, concat_ws(chr(10),
+                substring(norm, 1, 40), substring(norm, 41, 40),
+                CASE WHEN doc_id % 2 = 0 THEN substring(norm, 1, 40)
+                     ELSE substring(norm, 81, 40) END,
+                substring(norm, 1, 40)) AS txt FROM n),
+        l AS (SELECT doc_id,
+               unnest(list_filter(string_split(txt, chr(10)),
+                      x -> trim(x) <> '')) AS line FROM t),
+        lg AS (SELECT doc_id, line, count(*) AS cnt
+               FROM l GROUP BY doc_id, line),
+        ls AS (SELECT doc_id,
+               round(1 - count(*) / CAST(sum(cnt) AS DOUBLE), 4)
+                 AS dup_line_frac,
+               round(sum(length(line) * (cnt - 1))
+                     / CAST(sum(length(line) * cnt) AS DOUBLE), 4)
+                 AS dup_line_char_frac
+               FROM lg GROUP BY doc_id),
+        w AS (SELECT doc_id,
+               regexp_extract_all(lower(txt), '[a-z]+') AS ws FROM t),
+        wcs AS (SELECT doc_id,
+               coalesce(list_aggregate(
+                   list_transform(ws, x -> length(x)), 'sum'), 0) AS wc,
+               ws FROM w),
+        g2 AS (SELECT doc_id, wc, unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS g FROM wcs
+               WHERE len(ws) >= 2),
+        g2g AS (SELECT doc_id, g, count(*) AS cnt, any_value(wc) AS wc,
+                length(g) - length(regexp_replace(g, '[a-z]', '', 'g'))
+                  AS gchars
+                FROM g2 GROUP BY doc_id, g),
+        t2 AS (SELECT doc_id,
+               round(cnt * gchars / CAST(wc AS DOUBLE), 4)
+                 AS top_bigram_char_frac
+               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY cnt DESC, g DESC) AS rn FROM g2g)
+               WHERE rn = 1),
+        g3 AS (SELECT doc_id, wc, unnest(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+               FROM wcs WHERE len(ws) >= 3),
+        g3g AS (SELECT doc_id, g, count(*) AS cnt, any_value(wc) AS wc,
+                length(g) - length(regexp_replace(g, '[a-z]', '', 'g'))
+                  AS gchars
+                FROM g3 GROUP BY doc_id, g),
+        d3 AS (SELECT doc_id,
+               round(sum(gchars * (cnt - 1)) / CAST(any_value(wc) AS DOUBLE),
+                     4) AS dup_trigram_char_frac
+               FROM g3g GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+               coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               coalesce(t2.top_bigram_char_frac, 0.0)
+                 AS top_bigram_char_frac,
+               coalesce(d3.dup_trigram_char_frac, 0.0)
+                 AS dup_trigram_char_frac
+        FROM t
+        LEFT JOIN ls ON t.doc_id = ls.doc_id
+        LEFT JOIN t2 ON t.doc_id = t2.doc_id
+        LEFT JOIN d3 ON t.doc_id = d3.doc_id
+    """
+
+
 def _q_table_detect(spark, sf):
     """pdfplumber-'text'-strategy table detection (S6,
     document_loader_pdfplumber.py:138-177): per doc a 3x3 grid of word
@@ -1355,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_format_bytes": _q_detect_format_bytes,
         "raw_pipeline_extract": _q_raw_pipeline,
         "table_detect_cells": _q_table_detect,
+        "repetition_features": _q_repetition_features,
         "concat_parts": _q_concat_parts,
         "parse_raw_spans": _q_parse_raw_spans,
         "media_meta_dims": _q_media_meta_dims,
@@ -2272,6 +2362,7 @@ def oracle_sql() -> dict[str, str]:
     sql["detect_format_bytes"] = _detect_format_bytes_sql()
     sql["raw_pipeline_extract"] = _raw_pipeline_sql()
     sql["table_detect_cells"] = _table_detect_sql()
+    sql["repetition_features"] = _repetition_sql()
     sql["concat_parts"] = _concat_parts_sql()
     sql["parse_raw_spans"] = _PARSE_RAW_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL

@@ -94,6 +94,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "classify_media",
         "quality_features",
         "quality_score",
+        "repetition_features",
         "lang_id",
         "dedup_exact",
         "sessionize_events",

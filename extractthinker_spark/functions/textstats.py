@@ -95,6 +95,120 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_features(
+    df, key: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.2
+    repetition filters — the standard LLM-corpus quality gate this
+    module's score/feature set lacked):
+
+      * ``dup_line_frac``       1 − distinct/total over non-empty lines
+      * ``dup_line_char_frac``  chars in repeat occurrences of a line
+                                (cnt−1 per group) / total line chars
+      * ``top_bigram_char_frac`` chars covered by the most frequent
+                                word 2-gram / total word chars (ties →
+                                lexicographically greatest bigram)
+      * ``dup_trigram_char_frac`` chars in repeat occurrences of word
+                                3-grams / total word chars
+
+    Character accounting uses the sum-of-occurrence convention (each
+    repeat occurrence counts its gram's letters) — the tractable
+    interval-free variant common to Gopher reproductions.
+
+    Shape: gram arrays are built as pure expressions (zip_with over
+    word slices — no shuffle), then ONE explode per gram family feeds
+    a map-side-combinable groupBy on (key, gram) and a per-key rollup;
+    every aggregate is sum/count so partial aggregation applies. Docs
+    with no lines/words get 0.0 (left join back to the key set).
+    """
+    import pyspark.sql.functions as F  # local alias for clarity
+
+    text = F.col(text_col)
+    base = df.select(F.col(key).alias(key), text.alias("_t"))
+
+    lines_arr = F.filter(
+        F.split(F.col("_t"), "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    line_stats = (
+        base.select(key, F.explode(lines_arr).alias("line"))
+        .groupBy(key, "line")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(key)
+        .agg(
+            F.round(1 - F.count("*") / F.sum("cnt"), 4)
+            .alias("dup_line_frac"),
+            F.round(
+                F.sum(F.length("line") * (F.col("cnt") - 1))
+                / F.sum(F.length("line") * F.col("cnt")),
+                4,
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    words = F.regexp_extract_all(F.lower(F.col("_t")), F.lit(r"[a-z]+"), F.lit(0))
+    nw = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+
+    def grams(n: int):
+        parts = [
+            F.slice(words, i + 1, F.greatest(nw - (n - 1), F.lit(0)))
+            for i in range(n)
+        ]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+        return g
+
+    wbase = base.select(key, word_chars.alias("wc"),
+                        grams(2).alias("g2"), grams(3).alias("g3"))
+
+    def gram_groups(col: str):
+        return (
+            wbase.select(key, "wc", F.explode(col).alias("g"))
+            .groupBy(key, "g")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.first("wc").alias("wc"),
+                # letters only: the joining spaces are not gram chars
+                (F.length(F.first("g"))
+                 - F.length(F.regexp_replace(F.first("g"), r"[a-z]", ""))
+                 ).alias("gchars"),
+            )
+        )
+
+    top2 = gram_groups("g2").groupBy(key).agg(
+        F.round(
+            F.max(F.struct(F.col("cnt"), F.col("g"), F.col("gchars")))[
+                "cnt"
+            ]
+            * F.max(F.struct(F.col("cnt"), F.col("g"), F.col("gchars")))[
+                "gchars"
+            ]
+            / F.first("wc"),
+            4,
+        ).alias("top_bigram_char_frac")
+    )
+    dup3 = gram_groups("g3").groupBy(key).agg(
+        F.round(
+            F.sum(F.col("gchars") * (F.col("cnt") - 1)) / F.first("wc"), 4
+        ).alias("dup_trigram_char_frac")
+    )
+    keys = base.select(key)
+    out = (
+        keys.join(line_stats, key, "left")
+        .join(top2, key, "left")
+        .join(dup3, key, "left")
+        .na.fill(
+            0.0,
+            ["dup_line_frac", "dup_line_char_frac",
+             "top_bigram_char_frac", "dup_trigram_char_frac"],
+        )
+    )
+    return out
+
+
 def quality_score(text: Column) -> Column:
     """Composite 0..1 quality score — a Gopher/C4-style heuristic gate:
     penalize too-short docs, punctuation soup, digit soup, and

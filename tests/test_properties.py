@@ -148,3 +148,41 @@ def test_winnow_arrow_equals_expr(spark):
     ).collect()
     for r in both:
         assert r["e"] == r["a"], (r["i"], texts[r["i"]], r["e"], r["a"])
+
+
+def test_repetition_features_golden(spark):
+    """Gopher repetition metrics, hand-computed golden."""
+    from extractthinker_spark.functions.textstats import repetition_features
+
+    # doc a: lines [x, y, x] -> dup_line_frac = 1 - 2/3
+    #   line chars: x=5 ("hello"), y=9 ("wide open")
+    #   dup chars = 5*(2-1) = 5; total = 5*2 + 9 = 19
+    #   words: hello wide open hello
+    #   bigrams: "hello wide", "wide open", "open hello" all cnt=1 ->
+    #     tie -> lexicographically greatest = "wide open" (8 letters)
+    #   word_chars = 5+4+4+5 = 18 -> top = 1*8/18
+    #   trigrams all unique -> dup_trigram 0
+    # doc b: no duplicate anything
+    rows = [("a", "hello\nwide open\nhello"), ("b", "one two three")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    a = got["a"]
+    assert a["dup_line_frac"] == round(1 - 2 / 3, 4)
+    assert a["dup_line_char_frac"] == round(5 / 19, 4)
+    assert a["top_bigram_char_frac"] == round(8 / 18, 4)
+    assert a["dup_trigram_char_frac"] == 0.0
+    b = got["b"]
+    assert b["dup_line_frac"] == 0.0
+    assert b["dup_line_char_frac"] == 0.0
+    assert b["dup_trigram_char_frac"] == 0.0
+    # repeated trigram: "a b c a b c a b c" -> grams: 7 total,
+    # "a b c" x3, "b c a" x2, "c a b" x2 -> dup chars = 3*(2+1+1)=...
+    df2 = spark.createDataFrame(
+        [("c", "a b c a b c a b c")], "doc_id string, text string"
+    )
+    c = repetition_features(df2).collect()[0]
+    # word_chars=9; dup occurrences: (3-1)+(2-1)+(2-1)=4 grams x 3 chars
+    assert c["dup_trigram_char_frac"] == round(12 / 9, 4)
+    # bigrams: "a b"x3, "b c"x3, "c a"x2; cnt-tie -> lexicographically
+    # greatest "b c" (2 letters): 3*2/9
+    assert c["top_bigram_char_frac"] == round(6 / 9, 4)

@@ -216,8 +216,7 @@ def detect_format_bytes(raw: Column) -> Column:
     """
 
     def dispatch(c: Column) -> Column:
-        head_hex, is_ascii, th = c["hh"], c["asc"], c["th"]
-        txt = F.lower(F.ltrim(F.decode(th, "UTF-8")))
+        head_hex, txt = c["hh"], c["txt"]
 
         def marker_at_even(marker_hex: str, hay: Column) -> Column:
             # hex-string search: a real byte match is whole-byte
@@ -275,9 +274,10 @@ def detect_format_bytes(raw: Column) -> Column:
         )
         for fmt, magic in _MAGIC_PREFIXES:
             expr = expr.when(head_hex.startswith(magic), fmt)
-        # ASCII text sniff (reference: extension/MIME; here content)
+        # UTF-8 text sniff (reference: extension/MIME; here content):
+        # txt is NULL when the head is not valid UTF-8
         return (
-            expr.when(~is_ascii, F.lit("unknown"))
+            expr.when(txt.isNull(), F.lit("unknown"))
             .when(txt.startswith("<!doctype html"), "html")
             .when(txt.startswith("<html"), "html")
             .when(txt.startswith("<?xml"), "xml")
@@ -288,12 +288,32 @@ def detect_format_bytes(raw: Column) -> Column:
 
     def ctx(r: Column) -> Column:
         th = F.substring(r, 1, _TEXT_HEAD)
+        # BOM-aware UTF-8 text head: strip an EF BB BF BOM, then accept
+        # the head if valid UTF-8 after trimming 0..3 trailing bytes
+        # (the 256-byte cut can split a multi-byte character). NULL =
+        # not text. is_valid_utf8 operates on the raw binary, so the
+        # strict ANSI decode only ever runs on validated bytes.
+        tb = F.when(
+            F.upper(F.hex(F.substring(r, 1, 3))) == "EFBBBF",
+            F.substring(th, 4, _TEXT_HEAD),
+        ).otherwise(th)
+
+        def utf8_text(tbody: Column) -> Column:
+            ln = F.length(tbody)
+            cases = None
+            for k in range(4):
+                sub = F.substring(tbody, 1, F.greatest(ln - k, F.lit(0)))
+                cond = (ln - k >= 1) & F.is_valid_utf8(sub)
+                dec = F.lower(F.ltrim(F.decode(sub, "UTF-8")))
+                cases = (
+                    F.when(cond, dec) if cases is None else cases.when(cond, dec)
+                )
+            return cases
+
         return _let(
             F.struct(
                 F.upper(F.hex(F.substring(r, 1, _SNIFF_HEAD))).alias("hh"),
-                # every byte <= 0x7F → safe to decode as text
-                F.upper(F.hex(th)).rlike("^([0-7][0-9A-F])*$").alias("asc"),
-                th.alias("th"),
+                _let(tb, utf8_text).alias("txt"),
                 (r.isNull() | (F.length(r) == 0)).alias("empty"),
                 r.alias("r"),
             ),
@@ -336,9 +356,20 @@ def sniff_bytes(b: bytes | None) -> str:
         if b[: len(m)] == m:
             return fmt
     head = b[:_TEXT_HEAD]
-    if any(c > 0x7F for c in head):
+    body = head[3:] if head[:3] == b"\xef\xbb\xbf" else head
+    t = None
+    for k in range(4):  # 256-byte cut can split a multi-byte char
+        ln = len(body) - k
+        if ln < 1:
+            continue
+        try:
+            t = body[:ln].decode("utf-8")
+            break
+        except UnicodeDecodeError:
+            continue
+    if t is None:
         return "unknown"
-    t = head.decode("utf-8").lstrip().lower()
+    t = t.lstrip().lower()
     for prefix, fmt in (
         ("<!doctype html", "html"), ("<html", "html"), ("<?xml", "xml"),
         ("<svg", "svg"), ("{", "json"), ("[", "json"),
@@ -777,6 +808,15 @@ _SPANS_T = ("array<struct<kind:string,text:string,media_ref:string,"
 SHEET_HEADER = "\fSHEET {name}\n"
 
 
+def decode_text_bytes(b: bytes) -> str:
+    """Text payload decode for the span branches: BOM-stripped UTF-8
+    with replacement for stray invalid bytes (the sniff head was
+    validated; deep-body junk must not kill the document)."""
+    if b[:3] == b"\xef\xbb\xbf":
+        b = b[3:]
+    return b.decode("utf-8", "replace")
+
+
 def decode_csv_page(b: bytes, delimiter: str = ",") -> str:
     """CSV/TSV → one spreadsheet-semantics page: each record's cells
     joined with ' | ' (empty cells keep their placeholder), all-empty
@@ -880,7 +920,7 @@ def parse_raw_bytes(
                          None, i)
                 )
         elif fmt == "html":
-            out.append(span("html", b.decode("utf-8", "replace"), None, 0))
+            out.append(span("html", decode_text_bytes(b), None, 0))
         elif fmt == "txt" and last in ("csv", "tsv"):
             fmt = last
             out.append(
@@ -889,8 +929,7 @@ def parse_raw_bytes(
                      None, 0)
             )
         elif fmt in ("txt", "json", "xml", "svg"):
-            text = b.decode("utf-8", "replace")
-            for i, para in enumerate(text.split("\n\n")):
+            for i, para in enumerate(decode_text_bytes(b).split("\n\n")):
                 out.append(span("text", para, None, i))
         elif fmt in media_formats:
             out.append(span("media", None, f"bytes:{fmt}", 0))

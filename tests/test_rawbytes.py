@@ -55,7 +55,17 @@ CASES: list[tuple[bytes | None, str]] = [
     (b'{"k": 1}', "json"),
     (b"[1, 2, 3]", "json"),
     (b"plain old text", "txt"),
+    # non-ASCII UTF-8 is text (the old ASCII-only gate said unknown)
+    ("café résumé — naïve".encode(), "txt"),
+    ("﻿BOM then text".encode(), "txt"),
+    ("﻿<html><p>é</p></html>".encode(), "html"),
+    # head cut mid-multibyte: boundary trim accepts the valid prefix
+    (("x" * 254).encode() + "é".encode()[:1] + b"tail beyond head", "txt"),
+    # invalid UTF-8 leads stay unknown
     (b"\x80\xff\x00 garbage", "unknown"),
+    (b"ok then \xc3", "txt"),          # trailing partial char trimmed
+    (b"\xc3", "unknown"),              # nothing valid remains
+    (b"bad \xed\xa0\x80 surrogate", "unknown"),
     (b"", "empty"),
     (None, "empty"),
     # OLE2/CFB: magic + UTF-16LE directory stream names

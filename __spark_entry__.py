@@ -985,16 +985,13 @@ def _q_repetition_features(spark, sf):
     return repetition_features(d.select("doc_id", txt.alias("text")))
 
 
-def _repetition_sql() -> str:
-    return r"""
-        WITH n AS (SELECT doc_id,
-               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
-              FROM documents),
-        t AS (SELECT doc_id, concat_ws(chr(10),
-                substring(norm, 1, 40), substring(norm, 41, 40),
-                CASE WHEN doc_id % 2 = 0 THEN substring(norm, 1, 40)
-                     ELSE substring(norm, 81, 40) END,
-                substring(norm, 1, 40)) AS txt FROM n),
+def _repetition_core_sql(t_ctes: str) -> str:
+    """Repetition-metric SQL over a caller-supplied CTE chain ending in
+    ``t(doc_id, txt)`` — shared by the repetition_features oracle
+    (planted-duplicate construction) and the gopher_filter oracle
+    (raw document text)."""
+    return rf"""
+        WITH {t_ctes},
         l AS (SELECT doc_id,
                unnest(list_filter(string_split(txt, chr(10)),
                       x -> trim(x) <> '')) AS line FROM t),
@@ -1050,6 +1047,84 @@ def _repetition_sql() -> str:
         LEFT JOIN ls ON t.doc_id = ls.doc_id
         LEFT JOIN t2 ON t.doc_id = t2.doc_id
         LEFT JOIN d3 ON t.doc_id = d3.doc_id
+    """
+
+
+_REPETITION_PLANTED_T = r"""n AS (SELECT doc_id,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+              FROM documents),
+        t AS (SELECT doc_id, concat_ws(chr(10),
+                substring(norm, 1, 40), substring(norm, 41, 40),
+                CASE WHEN doc_id % 2 = 0 THEN substring(norm, 1, 40)
+                     ELSE substring(norm, 81, 40) END,
+                substring(norm, 1, 40)) AS txt FROM n)"""
+
+
+def _repetition_sql() -> str:
+    return _repetition_core_sql(_REPETITION_PLANTED_T)
+
+
+def _q_gopher_filter(spark, sf):
+    """Gopher quality gate (Rae et al. Table A1) over the documents
+    table: word/length/stopword heuristics joined with the repetition
+    signals, first-failing-rule reject_reason, keep boolean. min_words
+    lowered to 20 so the synthetic corpus exercises both outcomes."""
+    from extractthinker_spark.functions.textstats import gopher_filter
+
+    d = _tp(spark, sf, "documents")
+    return gopher_filter(
+        d.select("doc_id", "text"), thresholds={"min_words": 20}
+    )
+
+
+def _gopher_sql(min_words: int = 20) -> str:
+    from extractthinker_spark.functions.textstats import (
+        EN_STOPWORDS,
+        GOPHER_THRESHOLDS,
+    )
+
+    t = {**GOPHER_THRESHOLDS, "min_words": min_words}
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    rep = _repetition_core_sql(
+        "t AS (SELECT doc_id, text AS txt FROM documents)"
+    )
+    return f"""
+        WITH rep AS ({rep}),
+        q AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CASE WHEN len(ws) > 0 THEN
+                round(CAST(list_sum(list_transform(ws, w -> length(w)))
+                      AS DOUBLE) / len(ws), 4) ELSE 0.0 END
+                AS avg_word_len,
+              CAST(len(list_filter(ws, w -> w IN ({stops}))) AS BIGINT)
+                AS stopword_hits
+              FROM (SELECT doc_id,
+                    regexp_extract_all(lower(text), '[a-z]+') AS ws
+                    FROM documents)),
+        j AS (SELECT q.*, rep.dup_line_frac, rep.dup_line_char_frac,
+                     rep.top_bigram_char_frac, rep.dup_trigram_char_frac
+              FROM q JOIN rep ON q.doc_id = rep.doc_id),
+        r AS (SELECT *,
+              CASE WHEN n_words < {t["min_words"]} THEN 'too_few_words'
+                   WHEN n_words > {t["max_words"]} THEN 'too_many_words'
+                   WHEN avg_word_len < {t["min_avg_word_len"]}
+                     THEN 'avg_word_len'
+                   WHEN avg_word_len > {t["max_avg_word_len"]}
+                     THEN 'avg_word_len'
+                   WHEN stopword_hits < {t["min_stopword_hits"]}
+                     THEN 'stopwords'
+                   WHEN dup_line_frac > {t["max_dup_line_frac"]}
+                     THEN 'dup_lines'
+                   WHEN dup_line_char_frac > {t["max_dup_line_char_frac"]}
+                     THEN 'dup_line_chars'
+                   WHEN top_bigram_char_frac > {t["max_top_bigram_char_frac"]}
+                     THEN 'top_bigram'
+                   WHEN dup_trigram_char_frac >
+                        {t["max_dup_trigram_char_frac"]}
+                     THEN 'dup_trigram'
+                   END AS reject_reason
+              FROM j)
+        SELECT *, reject_reason IS NULL AS keep FROM r
     """
 
 
@@ -1445,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_pipeline_extract": _q_raw_pipeline,
         "table_detect_cells": _q_table_detect,
         "repetition_features": _q_repetition_features,
+        "gopher_filter": _q_gopher_filter,
         "concat_parts": _q_concat_parts,
         "parse_raw_spans": _q_parse_raw_spans,
         "media_meta_dims": _q_media_meta_dims,
@@ -2363,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
     sql["raw_pipeline_extract"] = _raw_pipeline_sql()
     sql["table_detect_cells"] = _table_detect_sql()
     sql["repetition_features"] = _repetition_sql()
+    sql["gopher_filter"] = _gopher_sql()
     sql["concat_parts"] = _concat_parts_sql()
     sql["parse_raw_spans"] = _PARSE_RAW_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL

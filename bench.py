@@ -95,6 +95,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "quality_features",
         "quality_score",
         "repetition_features",
+        "gopher_filter",
         "lang_id",
         "dedup_exact",
         "sessionize_events",

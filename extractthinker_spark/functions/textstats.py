@@ -209,6 +209,84 @@ def repetition_features(
     return out
 
 
+GOPHER_THRESHOLDS: dict[str, float] = {
+    # Rae et al. 2021, Table A1 (quality filtering heuristics)
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_avg_word_len": 3.0,
+    "max_avg_word_len": 10.0,
+    "min_stopword_hits": 2,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_bigram_char_frac": 0.20,
+    "max_dup_trigram_char_frac": 0.18,
+}
+
+
+def gopher_filter(
+    df,
+    key: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict | None = None,
+):
+    """The Gopher quality GATE: compose the word/length/stopword
+    heuristics with the repetition signals into a per-document
+    keep/drop decision plus the FIRST failing rule as
+    ``reject_reason`` (rule order below = the order the checks are
+    listed in Rae et al. Table A1; NULL reason = keep). Returns
+    (key, n_words, avg_word_len, stopword_hits, the four repetition
+    fractions, keep, reject_reason).
+
+    One narrow pass for the expression features + the
+    repetition_features shuffles + a co-partitioned key join — at
+    corpus scale the filter costs what the repetition counters cost.
+    """
+    import pyspark.sql.functions as F
+
+    t = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    text = F.col(text_col)
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), F.lit(0))
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    q = df.select(
+        F.col(key).alias(key),
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, F.round(word_chars / n_words, 4))
+        .otherwise(0.0)
+        .alias("avg_word_len"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    rep = repetition_features(df, key=key, text_col=text_col)
+    j = q.join(rep, key)
+    reason = (
+        F.when(F.col("n_words") < t["min_words"], "too_few_words")
+        .when(F.col("n_words") > t["max_words"], "too_many_words")
+        .when(F.col("avg_word_len") < t["min_avg_word_len"], "avg_word_len")
+        .when(F.col("avg_word_len") > t["max_avg_word_len"], "avg_word_len")
+        .when(F.col("stopword_hits") < t["min_stopword_hits"], "stopwords")
+        .when(F.col("dup_line_frac") > t["max_dup_line_frac"], "dup_lines")
+        .when(
+            F.col("dup_line_char_frac") > t["max_dup_line_char_frac"],
+            "dup_line_chars",
+        )
+        .when(
+            F.col("top_bigram_char_frac") > t["max_top_bigram_char_frac"],
+            "top_bigram",
+        )
+        .when(
+            F.col("dup_trigram_char_frac") > t["max_dup_trigram_char_frac"],
+            "dup_trigram",
+        )
+    )
+    return j.select(
+        "*", reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite 0..1 quality score — a Gopher/C4-style heuristic gate:
     penalize too-short docs, punctuation soup, digit soup, and

@@ -95,3 +95,53 @@ def run_stream_once(
         available_now=True,
     )
     q.awaitTermination()
+
+
+def stream_raw_documents(
+    spark: SparkSession,
+    input_dir: str,
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a landing zone of RAW FILES (any format the
+    sniffer knows): the binaryFile streaming source feeds the same
+    sniff→decode mapInPandas as the batch path (streams and batches
+    share every operator — parse_raw_bytes is stateless per row), with
+    the file path's extension as the dispatch hint. Yields the
+    documents(doc_id, spans) stream stream_extract expects."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length bigint, "
+        "content binary"
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    raw = reader.load(input_dir).select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("doc_id"),
+        F.col("path").alias("source_uri"),
+        F.col("content").alias("raw"),
+    )
+    return parse_raw_bytes(raw, uri_col="source_uri").select(
+        "doc_id", "spans"
+    )
+
+
+def run_raw_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    path_glob: str | None = None,
+) -> None:
+    """Drain a raw-file landing zone through sniff → decode → extract
+    with the idempotent per-batch-id sink."""
+    q = stream_extract(
+        stream_raw_documents(spark, input_dir, path_glob),
+        output_dir,
+        checkpoint_dir,
+        available_now=True,
+    )
+    q.awaitTermination()

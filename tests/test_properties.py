@@ -186,3 +186,29 @@ def test_repetition_features_golden(spark):
     # bigrams: "a b"x3, "b c"x3, "c a"x2; cnt-tie -> lexicographically
     # greatest "b c" (2 letters): 3*2/9
     assert c["top_bigram_char_frac"] == round(6 / 9, 4)
+
+
+def test_gopher_filter_gate(spark):
+    """First-failing-rule semantics and threshold boundaries."""
+    from extractthinker_spark.functions.textstats import gopher_filter
+
+    long_good = ("the quick brown fox jumps over the lazy dog and then "
+                 "keeps running through the wide open field for a while "
+                 "until it finds a quiet place to rest near the river")
+    rows = [
+        ("ok", long_good),
+        ("short", "tiny text"),
+        ("nostop", " ".join(f"zzz{i} qqqx{i}" for i in range(30))),
+        ("repeatl", "\n".join(["dup line here"] * 10) + "\n" + long_good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in gopher_filter(df, thresholds={"min_words": 10}).collect()
+    }
+    assert got["ok"]["keep"] and got["ok"]["reject_reason"] is None
+    assert got["short"]["reject_reason"] == "too_few_words"
+    assert got["nostop"]["reject_reason"] == "stopwords"
+    # repeated lines trip the dup-line rule BEFORE the char-frac rule
+    assert got["repeatl"]["reject_reason"] == "dup_lines"
+    assert not got["repeatl"]["keep"]

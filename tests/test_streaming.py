@@ -56,3 +56,64 @@ def test_stream_equals_batch_and_resumes(spark, tmp_path):
     run_stream_once(spark, in_dir, out_dir, str(tmp_path / "ckpt2"))
     assert _span_tuples(spark.read.parquet(out_dir)) == want
     assert spark.read.parquet(out_dir).count() == len(want)
+
+
+def test_raw_file_stream_equals_batch(spark, tmp_path):
+    """A raw-file landing zone (mixed formats incl. compressed PDF,
+    csv-by-extension, gz) drains through sniff->decode->extract to the
+    same spans the batch path yields; a second drain with the same
+    checkpoint reprocesses nothing."""
+    import zlib
+
+    import pyspark.sql.functions as F
+
+    from extractthinker_spark.operators.rawbytes import (
+        make_fixture_docx,
+        make_fixture_pdf,
+        parse_raw_bytes,
+    )
+    from extractthinker_spark.plans.pipeline import extract_main_content
+    from extractthinker_spark.streaming import run_raw_stream_once
+
+    land = tmp_path / "land"
+    land.mkdir()
+    pages = ["Invoice #7\nTotal: 10", "DRIVER LICENSE\nAge: 9"]
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    files = {
+        "a.pdf": make_fixture_pdf(pages, compress=True),
+        "b.docx": make_fixture_docx(pages),
+        "c.html": b"<html><body><p>hello stream</p></body></html>",
+        "d.csv": b"x,y\n1,2",
+        "e.txt.gz": co.compress(b"zipped para") + co.flush(),
+    }
+    for name, data in files.items():
+        (land / name).write_bytes(data)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_raw_stream_once(spark, str(land), out_dir, ckpt)
+    streamed = _span_tuples(
+        spark.read.parquet(out_dir).select("doc_id", "spans")
+    )
+
+    batch_raw = spark.createDataFrame(
+        [(n, str(land / n), d) for n, d in files.items()],
+        "doc_id string, source_uri string, raw binary",
+    )
+    batch = _span_tuples(
+        extract_main_content(
+            parse_raw_bytes(batch_raw, uri_col="source_uri").select(
+                "doc_id", "spans"
+            )
+        )
+    )
+    assert streamed == batch
+    assert streamed["a.pdf"][0][1].startswith("Invoice #7")
+    assert streamed["d.csv"][0][0] == "table"
+    assert streamed["e.txt.gz"][0][1] == "zipped para"
+
+    # replay: same checkpoint -> no duplicate batch output
+    run_raw_stream_once(spark, str(land), out_dir, ckpt)
+    again = _span_tuples(
+        spark.read.parquet(out_dir).select("doc_id", "spans")
+    )
+    assert again == streamed

@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet/Iceberg path of documents(doc_id, spans)")
+    src.add_argument("--raw-input",
+                     help="directory of RAW FILES (any sniffable format): "
+                          "binaryFile scan -> sniff/decode -> spans, with "
+                          "the filename extension as dispatch hint")
     src.add_argument("--synthetic", type=int, help="generate N synthetic docs instead")
     ap.add_argument("--output", required=True, help="run directory (data+manifests+metrics)")
     ap.add_argument("--input-token", default="", help="input snapshot identity for resume")
@@ -58,6 +62,23 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
 
     if args.input:
         documents = spark.read.parquet(args.input)
+    elif args.raw_input:
+        import pyspark.sql.functions as F
+
+        from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+        raw = (
+            spark.read.format("binaryFile")
+            .load(args.raw_input)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("doc_id"),
+                F.col("path").alias("source_uri"),
+                F.col("content").alias("raw"),
+            )
+        )
+        documents = parse_raw_bytes(raw, uri_col="source_uri").select(
+            "doc_id", "spans"
+        )
     else:
         from extractthinker_spark.corpus import corpus_spark
 

@@ -59,3 +59,33 @@ def test_extract_job_cli(tmp_path, spark):
     got = spark.read.parquet(f"{out}/data")
     assert got.count() == 40
     assert {f.name for f in got.schema.fields} >= {"doc_id", "spans"}
+
+
+def test_extract_job_raw_input(tmp_path, spark):
+    """--raw-input drives the binaryFile road end to end through the
+    checkpointed run: mixed raw files in, extracted spans out."""
+    import jobs.extract_job as job
+    from extractthinker_spark.operators.rawbytes import make_fixture_pdf
+
+    land = tmp_path / "rawland"
+    land.mkdir()
+    (land / "a.pdf").write_bytes(
+        make_fixture_pdf(["Invoice #3\nTotal: 7"], compress=True)
+    )
+    (land / "b.html").write_bytes(
+        b"<html><body><p>raw job body</p></body></html>"
+    )
+    (land / "c.csv").write_bytes(b"k,v\n1,2")
+
+    out = str(tmp_path / "raw-run")
+    job.main([
+        "--raw-input", str(land), "--output", out, "--input-token", "r0",
+        "--n-buckets", "2", "--wave-size", "2",
+    ], stop=False)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    assert got["a.pdf"][0][1].startswith("Invoice #3")
+    assert got["b.html"] == [("text", "raw job body")]
+    assert got["c.csv"][0][0] == "table"

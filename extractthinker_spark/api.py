@@ -220,6 +220,28 @@ class Process:
         transforms (HTML strip, page-header strip, marker replace)."""
         return extract_main_content(self._require_docs(), nest=nest)
 
+    def filter_quality(
+        self, thresholds: dict | None = None, keep_rejects: bool = False
+    ) -> Process:
+        """Corpus-curation gate: run the Gopher quality filter over
+        each document's EXTRACTED main text and drop failing documents
+        from this process (``keep_rejects=True`` keeps them, for
+        inspecting ``gopher_filter``'s reasons separately). The filter
+        sees stripped content, not raw spans — boilerplate must not
+        count toward repetition/stopword signals, just as
+        classification scores stripped text."""
+        from extractthinker_spark.functions.textstats import gopher_filter
+
+        merged = doc_text(self.extract_content(nest=True))
+        verdict = gopher_filter(
+            merged.select("doc_id", F.col("content").alias("text")),
+            thresholds=thresholds,
+        ).select("doc_id", "keep")
+        if not keep_rejects:
+            keep_ids = verdict.filter(F.col("keep")).select("doc_id")
+            self._documents = self._require_docs().join(keep_ids, "doc_id")
+        return self
+
     # -- split --------------------------------------------------------------
 
     def split(self, strategy: SplitStrategy = SplitStrategy.LAZY) -> Process:

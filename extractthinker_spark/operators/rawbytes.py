@@ -79,6 +79,7 @@ MIME_TYPE_MAPPING: dict[str, list[str]] = {
     "html": ["text/html", "application/xhtml+xml"],
     "xml": ["application/xml", "text/xml"],
     "json": ["application/json"],
+    "jsonl": ["application/jsonl", "application/x-ndjson"],
     "yaml": ["application/yaml", "text/yaml"],
     # archives
     "zip": ["application/zip"],
@@ -928,6 +929,12 @@ def parse_raw_bytes(
                      decode_csv_page(b, "\t" if last == "tsv" else ","),
                      None, 0)
             )
+        elif fmt in ("txt", "json") and last in ("jsonl", "ndjson"):
+            # line-delimited records: one text span per non-empty line
+            fmt = "jsonl"
+            lines = decode_text_bytes(b).split("\n")
+            for i, line in enumerate(ln for ln in lines if ln.strip()):
+                out.append(span("text", line, None, i))
         elif fmt in ("txt", "json", "xml", "svg"):
             for i, para in enumerate(decode_text_bytes(b).split("\n\n")):
                 out.append(span("text", para, None, i))

@@ -248,3 +248,31 @@ def test_classify_strategies_with_layers(docs):
     # some rows resolve and low-confidence ones come back Unknown
     names = {r["classification"] for r in th}
     assert names  # runs; gate semantics pinned in tests/test_classify.py
+
+
+def test_process_filter_quality(spark):
+    """Process.filter_quality drops failing documents using the Gopher
+    gate over stripped content; survivors flow on unchanged."""
+    from extractthinker_spark.api import Process
+
+    good = ("the quick brown fox jumps over the lazy dog and then keeps "
+            "running through the wide open field for a while until it "
+            "finds a quiet place to rest near the river")
+    rows = [
+        ("g", [("text", good, None, 0)]),
+        ("tiny", [("text", "too short", None, 0)]),
+    ]
+    docs = spark.createDataFrame(
+        [(d, [{"kind": k, "text": t, "media_ref": m, "offset": o}
+              for k, t, m, o in sp]) for d, sp in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    p = Process().load(docs).filter_quality(thresholds={"min_words": 10})
+    kept = {r["doc_id"] for r in p.extract_content().select("doc_id").collect()}
+    assert kept == {"g"}
+    # keep_rejects leaves the corpus intact
+    p2 = Process().load(docs).filter_quality(
+        thresholds={"min_words": 10}, keep_rejects=True
+    )
+    assert p2.extract_content().count() == 2

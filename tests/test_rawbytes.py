@@ -486,3 +486,21 @@ def test_xlsx_golden_decode(spark):
         "\fSHEET Budget\nIncome | 100\nExpense |  | 60"
     )
     assert out["spans"][1]["text"] == "\fSHEET Notes\nonly one cell"
+
+
+def test_jsonl_line_records(spark):
+    """.jsonl/.ndjson extension hint: one text span per non-empty
+    line (line-delimited records), not paragraph splitting."""
+    data = b'{"a": 1}\n\n{"a": 2}\n{"a": 3}\n'
+    df = spark.createDataFrame(
+        [("j1", data, "dumps/part-00.jsonl"), ("j2", data, None)],
+        "doc_id string, raw binary, uri string",
+    )
+    out = {r["doc_id"]: r for r in parse_raw_bytes(df, uri_col="uri").collect()}
+    assert out["j1"]["format"] == "jsonl"
+    assert [s["text"] for s in out["j1"]["spans"]] == [
+        '{"a": 1}', '{"a": 2}', '{"a": 3}'
+    ]
+    assert [s["offset"] for s in out["j1"]["spans"]] == [0, 1, 2]
+    # without the hint the content sniff still says json (text branch)
+    assert out["j2"]["format"] == "json"

@@ -988,65 +988,88 @@ def _q_repetition_features(spark, sf):
 def _repetition_core_sql(t_ctes: str) -> str:
     """Repetition-metric SQL over a caller-supplied CTE chain ending in
     ``t(doc_id, txt)`` — shared by the repetition_features oracle
-    (planted-duplicate construction) and the gopher_filter oracle
-    (raw document text)."""
-    return rf"""
-        WITH {t_ctes},
-        l AS (SELECT doc_id,
-               unnest(list_filter(string_split(txt, chr(10)),
-                      x -> trim(x) <> '')) AS line FROM t),
-        lg AS (SELECT doc_id, line, count(*) AS cnt
-               FROM l GROUP BY doc_id, line),
-        ls AS (SELECT doc_id,
+    (planted-duplicate construction) and the gopher_filter oracle (raw
+    document text). Generated from the same metric inventory
+    (TOP_GRAM_NS / DUP_GRAM_NS) as the Spark impls, so the three forms
+    (Arrow production, Catalyst twin, this oracle) can never drift on
+    WHICH metrics exist — only the math could drift, and that is
+    pinned value-level by the driver."""
+    from extractthinker_spark.functions.textstats import (
+        DUP_GRAM_NS,
+        TOP_GRAM_NS,
+        _dup_col,
+        _top_col,
+    )
+
+    def seg_ctes(sep_sql: str, tag: str, prefix: str) -> str:
+        return f"""
+        {tag} AS (SELECT doc_id,
+               unnest(list_filter(string_split(txt, {sep_sql}),
+                      x -> trim(x) <> '')) AS seg FROM t),
+        {tag}g AS (SELECT doc_id, seg, count(*) AS cnt
+               FROM {tag} GROUP BY doc_id, seg),
+        {tag}s AS (SELECT doc_id,
                round(1 - count(*) / CAST(sum(cnt) AS DOUBLE), 4)
-                 AS dup_line_frac,
-               round(sum(length(line) * (cnt - 1))
-                     / CAST(sum(length(line) * cnt) AS DOUBLE), 4)
-                 AS dup_line_char_frac
-               FROM lg GROUP BY doc_id),
+                 AS dup_{prefix}_frac,
+               round(sum(length(seg) * (cnt - 1))
+                     / CAST(sum(length(seg) * cnt) AS DOUBLE), 4)
+                 AS dup_{prefix}_char_frac
+               FROM {tag}g GROUP BY doc_id)"""
+
+    all_ns = sorted(set(TOP_GRAM_NS) | set(DUP_GRAM_NS))
+    gram_ctes, joins, selects = [], [], []
+    for n in all_ns:
+        concat = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+        gram_ctes.append(f"""
+        g{n} AS (SELECT doc_id, wc, unnest(list_transform(
+                 generate_series(1, len(ws) - {n - 1}),
+                 i -> {concat})) AS g FROM wcs
+               WHERE len(ws) >= {n}),
+        g{n}g AS (SELECT doc_id, g, count(*) AS cnt, any_value(wc) AS wc,
+                length(g) - {n - 1} AS gchars
+                FROM g{n} GROUP BY doc_id, g)""")
+        if n in TOP_GRAM_NS:
+            col = _top_col(n)
+            gram_ctes.append(f"""
+        t{n} AS (SELECT doc_id,
+               round(cnt * gchars / CAST(wc AS DOUBLE), 4) AS {col}
+               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY cnt DESC, g DESC) AS rn FROM g{n}g)
+               WHERE rn = 1)""")
+            joins.append(f"LEFT JOIN t{n} ON t.doc_id = t{n}.doc_id")
+            selects.append(f"coalesce(t{n}.{col}, 0.0) AS {col}")
+        if n in DUP_GRAM_NS:
+            col = _dup_col(n)
+            gram_ctes.append(f"""
+        d{n} AS (SELECT doc_id,
+               round(sum(gchars * (cnt - 1)) / CAST(any_value(wc) AS DOUBLE),
+                     4) AS {col}
+               FROM g{n}g GROUP BY doc_id)""")
+            joins.append(f"LEFT JOIN d{n} ON t.doc_id = d{n}.doc_id")
+            selects.append(f"coalesce(d{n}.{col}, 0.0) AS {col}")
+    line_ctes = seg_ctes("chr(10)", "l", "line")
+    para_ctes = seg_ctes("chr(10) || chr(10)", "p", "para")
+    gram_sql = ",".join(gram_ctes)
+    select_sql = (",\n               ").join(selects)
+    join_sql = " ".join(joins)
+    return f"""
+        WITH {t_ctes},{line_ctes},{para_ctes},
         w AS (SELECT doc_id,
                regexp_extract_all(lower(txt), '[a-z]+') AS ws FROM t),
         wcs AS (SELECT doc_id,
                coalesce(list_aggregate(
                    list_transform(ws, x -> length(x)), 'sum'), 0) AS wc,
-               ws FROM w),
-        g2 AS (SELECT doc_id, wc, unnest(list_transform(
-                 generate_series(1, len(ws) - 1),
-                 i -> ws[i] || ' ' || ws[i + 1])) AS g FROM wcs
-               WHERE len(ws) >= 2),
-        g2g AS (SELECT doc_id, g, count(*) AS cnt, any_value(wc) AS wc,
-                length(g) - length(regexp_replace(g, '[a-z]', '', 'g'))
-                  AS gchars
-                FROM g2 GROUP BY doc_id, g),
-        t2 AS (SELECT doc_id,
-               round(cnt * gchars / CAST(wc AS DOUBLE), 4)
-                 AS top_bigram_char_frac
-               FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                     ORDER BY cnt DESC, g DESC) AS rn FROM g2g)
-               WHERE rn = 1),
-        g3 AS (SELECT doc_id, wc, unnest(list_transform(
-                 generate_series(1, len(ws) - 2),
-                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
-               FROM wcs WHERE len(ws) >= 3),
-        g3g AS (SELECT doc_id, g, count(*) AS cnt, any_value(wc) AS wc,
-                length(g) - length(regexp_replace(g, '[a-z]', '', 'g'))
-                  AS gchars
-                FROM g3 GROUP BY doc_id, g),
-        d3 AS (SELECT doc_id,
-               round(sum(gchars * (cnt - 1)) / CAST(any_value(wc) AS DOUBLE),
-                     4) AS dup_trigram_char_frac
-               FROM g3g GROUP BY doc_id)
+               ws FROM w),{gram_sql}
         SELECT t.doc_id,
                coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
                coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
-               coalesce(t2.top_bigram_char_frac, 0.0)
-                 AS top_bigram_char_frac,
-               coalesce(d3.dup_trigram_char_frac, 0.0)
-                 AS dup_trigram_char_frac
+               coalesce(ps.dup_para_frac, 0.0) AS dup_para_frac,
+               coalesce(ps.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+               {select_sql}
         FROM t
         LEFT JOIN ls ON t.doc_id = ls.doc_id
-        LEFT JOIN t2 ON t.doc_id = t2.doc_id
-        LEFT JOIN d3 ON t.doc_id = d3.doc_id
+        LEFT JOIN ps ON t.doc_id = ps.doc_id
+        {join_sql}
     """
 
 
@@ -1078,16 +1101,30 @@ def _q_gopher_filter(spark, sf):
 
 
 def _gopher_sql(min_words: int = 20) -> str:
+    """Gopher-gate oracle, CASE chain generated from the SAME
+    GOPHER_GATE_RULES table the Spark gate iterates — rule order and
+    thresholds cannot drift between engines."""
     from extractthinker_spark.functions.textstats import (
         EN_STOPWORDS,
+        GOPHER_GATE_RULES,
+        GOPHER_STOPWORDS_8,
         GOPHER_THRESHOLDS,
+        REPETITION_COLS,
     )
 
     t = {**GOPHER_THRESHOLDS, "min_words": min_words}
     stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    stops8 = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS_8)
     rep = _repetition_core_sql(
         "t AS (SELECT doc_id, text AS txt FROM documents)"
     )
+    rep_cols = ", ".join(f"rep.{c}" for c in REPETITION_COLS)
+    whens = []
+    for label, col, op, tkey in GOPHER_GATE_RULES:
+        if t.get(tkey) is None:
+            continue
+        whens.append(f"WHEN {col} {op} {t[tkey]} THEN '{label}'")
+    case_sql = "\n                   ".join(whens)
     return f"""
         WITH rep AS ({rep}),
         q AS (SELECT doc_id,
@@ -1097,31 +1134,16 @@ def _gopher_sql(min_words: int = 20) -> str:
                       AS DOUBLE) / len(ws), 4) ELSE 0.0 END
                 AS avg_word_len,
               CAST(len(list_filter(ws, w -> w IN ({stops}))) AS BIGINT)
-                AS stopword_hits
+                AS stopword_hits,
+              CAST(len(list_distinct(list_filter(ws,
+                   w -> w IN ({stops8})))) AS BIGINT) AS stop_distinct
               FROM (SELECT doc_id,
                     regexp_extract_all(lower(text), '[a-z]+') AS ws
                     FROM documents)),
-        j AS (SELECT q.*, rep.dup_line_frac, rep.dup_line_char_frac,
-                     rep.top_bigram_char_frac, rep.dup_trigram_char_frac
+        j AS (SELECT q.*, {rep_cols}
               FROM q JOIN rep ON q.doc_id = rep.doc_id),
         r AS (SELECT *,
-              CASE WHEN n_words < {t["min_words"]} THEN 'too_few_words'
-                   WHEN n_words > {t["max_words"]} THEN 'too_many_words'
-                   WHEN avg_word_len < {t["min_avg_word_len"]}
-                     THEN 'avg_word_len'
-                   WHEN avg_word_len > {t["max_avg_word_len"]}
-                     THEN 'avg_word_len'
-                   WHEN stopword_hits < {t["min_stopword_hits"]}
-                     THEN 'stopwords'
-                   WHEN dup_line_frac > {t["max_dup_line_frac"]}
-                     THEN 'dup_lines'
-                   WHEN dup_line_char_frac > {t["max_dup_line_char_frac"]}
-                     THEN 'dup_line_chars'
-                   WHEN top_bigram_char_frac > {t["max_top_bigram_char_frac"]}
-                     THEN 'top_bigram'
-                   WHEN dup_trigram_char_frac >
-                        {t["max_dup_trigram_char_frac"]}
-                     THEN 'dup_trigram'
+              CASE {case_sql}
                    END AS reject_reason
               FROM j)
         SELECT *, reject_reason IS NULL AS keep FROM r

@@ -225,18 +225,21 @@ class Process:
     ) -> Process:
         """Corpus-curation gate: run the Gopher quality filter over
         each document's EXTRACTED main text and drop failing documents
-        from this process (``keep_rejects=True`` keeps them, for
-        inspecting ``gopher_filter``'s reasons separately). The filter
-        sees stripped content, not raw spans — boilerplate must not
-        count toward repetition/stopword signals, just as
-        classification scores stripped text."""
+        from this process (``keep_rejects=True`` keeps them). Either
+        way the full verdict DataFrame — per-doc features, ``keep``,
+        ``reject_reason`` — is stashed as ``self.quality_report`` for
+        inspection/audit sinks. The filter sees stripped content, not
+        raw spans — boilerplate must not count toward
+        repetition/stopword signals, just as classification scores
+        stripped text."""
         from extractthinker_spark.functions.textstats import gopher_filter
 
         merged = doc_text(self.extract_content(nest=True))
         verdict = gopher_filter(
             merged.select("doc_id", F.col("content").alias("text")),
             thresholds=thresholds,
-        ).select("doc_id", "keep")
+        )
+        self.quality_report = verdict
         if not keep_rejects:
             keep_ids = verdict.filter(F.col("keep")).select("doc_id")
             self._documents = self._require_docs().join(keep_ids, "doc_id")

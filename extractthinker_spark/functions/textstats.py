@@ -95,55 +95,213 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+# Gopher's 8-word stopword presence list (Rae et al. 2021, §A1.1:
+# "contains at least two of the following English words: the, be, to,
+# of, and, that, have, with") — distinct-presence, not hit-count.
+GOPHER_STOPWORDS_8 = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Repetition metric inventory (Rae et al. 2021, Table A1), shared by
+# the Arrow impl, the Catalyst twin, and the DuckDB oracle generator:
+# top-n-gram char fractions for n=2..4, duplicate-n-gram char
+# fractions for n=5..10 (plus the legacy dup-trigram signal kept from
+# earlier rounds). Character accounting uses the sum-of-occurrence
+# convention (each repeat occurrence counts its gram's letters) — the
+# tractable interval-free variant common to Gopher reproductions.
+TOP_GRAM_NS = (2, 3, 4)
+DUP_GRAM_NS = (3, 5, 6, 7, 8, 9, 10)
+
+
+def _top_col(n: int) -> str:
+    return {2: "top_bigram_char_frac", 3: "top_trigram_char_frac"}.get(
+        n, f"top_{n}gram_char_frac"
+    )
+
+
+def _dup_col(n: int) -> str:
+    return {3: "dup_trigram_char_frac"}.get(n, f"dup_{n}gram_char_frac")
+
+
+WORD_FEATURE_COLS = ["n_words", "avg_word_len", "stopword_hits", "stop_distinct"]
+
+REPETITION_COLS = (
+    ["dup_line_frac", "dup_line_char_frac",
+     "dup_para_frac", "dup_para_char_frac"]
+    + [_top_col(n) for n in TOP_GRAM_NS]
+    + [_dup_col(n) for n in DUP_GRAM_NS]
+)
+
+
+def _round4(x: float) -> float:
+    """Spark-exact round(double, 4): HALF_UP on the shortest decimal
+    repr (java BigDecimal.valueOf semantics == python repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _repetition_metrics_py(text: str) -> dict[str, float]:
+    """Per-document repetition + word features, pure Python/Counter —
+    the zero-shuffle production path. Must stay value-identical to the
+    Catalyst twin below (pinned by tests + the driver oracle):
+    non-empty = Spark trim semantics (strips 0x20 ONLY), words =
+    ``[a-z]+`` over lower(text), gram chars = len(gram) - (n-1)
+    (single-space joins over pure-letter words), fractions = integer
+    sums -> one IEEE double division -> Spark HALF_UP round(4)."""
+    import re
+    from collections import Counter
+
+    out = {c: 0.0 for c in REPETITION_COLS}
+
+    def seg_stats(parts):
+        kept = [p for p in parts if p.strip(" ")]
+        if not kept:
+            return 0.0, 0.0
+        cnt = Counter(kept)
+        frac = _round4(1.0 - len(cnt) / len(kept))
+        rep = sum(len(s) * (c - 1) for s, c in cnt.items())
+        tot = sum(len(s) * c for s, c in cnt.items())
+        return frac, _round4(rep / tot)
+
+    out["dup_line_frac"], out["dup_line_char_frac"] = seg_stats(
+        text.split("\n")
+    )
+    out["dup_para_frac"], out["dup_para_char_frac"] = seg_stats(
+        text.split("\n\n")
+    )
+
+    ws = re.findall(r"[a-z]+", text.lower())
+    wc = sum(map(len, ws))
+    out["n_words"] = len(ws)
+    out["avg_word_len"] = _round4(wc / len(ws)) if ws else 0.0
+    out["stopword_hits"] = sum(1 for w in ws if w in _EN_STOPSET)
+    out["stop_distinct"] = len({w for w in ws if w in _GOPHER8_SET})
+    if wc:
+        for n in sorted(set(TOP_GRAM_NS) | set(DUP_GRAM_NS)):
+            if len(ws) < n:
+                break
+            cnt = Counter(
+                " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)
+            )
+            if n in TOP_GRAM_NS:
+                best_c, best_g = max(
+                    ((c, g) for g, c in cnt.items())
+                )
+                out[_top_col(n)] = _round4(
+                    best_c * (len(best_g) - (n - 1)) / wc
+                )
+            if n in DUP_GRAM_NS:
+                rep = sum(
+                    (len(g) - (n - 1)) * (c - 1)
+                    for g, c in cnt.items() if c > 1
+                )
+                out[_dup_col(n)] = _round4(rep / wc)
+    return out
+
+
+_EN_STOPSET = frozenset(EN_STOPWORDS)
+_GOPHER8_SET = frozenset(GOPHER_STOPWORDS_8)
+
+
+def _repetition_schema(df, key: str, with_word_features: bool):
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    fields = [df.schema[key]]
+    if with_word_features:
+        fields += [
+            StructField("n_words", LongType()),
+            StructField("avg_word_len", DoubleType()),
+            StructField("stopword_hits", LongType()),
+            StructField("stop_distinct", LongType()),
+        ]
+    fields += [StructField(c, DoubleType()) for c in REPETITION_COLS]
+    return StructType(fields)
+
+
 def repetition_features(
-    df, key: str = "doc_id", text_col: str = "text"
+    df,
+    key: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "arrow",
+    with_word_features: bool = False,
 ):
-    """Gopher-style repetition signals (Rae et al. 2021, §A1.2
-    repetition filters — the standard LLM-corpus quality gate this
-    module's score/feature set lacked):
+    """Gopher repetition signals (Rae et al. 2021, Table A1):
 
-      * ``dup_line_frac``       1 − distinct/total over non-empty lines
-      * ``dup_line_char_frac``  chars in repeat occurrences of a line
-                                (cnt−1 per group) / total line chars
-      * ``top_bigram_char_frac`` chars covered by the most frequent
-                                word 2-gram / total word chars (ties →
-                                lexicographically greatest bigram)
-      * ``dup_trigram_char_frac`` chars in repeat occurrences of word
-                                3-grams / total word chars
+      * ``dup_line_frac`` / ``dup_para_frac``: 1 − distinct/total over
+        non-empty lines (split ``\\n``) / paragraphs (split ``\\n\\n``)
+      * ``dup_line_char_frac`` / ``dup_para_char_frac``: chars in
+        repeat occurrences of a segment (cnt−1 per group) / total
+      * ``top_{2,3,4}gram_char_frac``: chars covered by the most
+        frequent word n-gram / total word chars (ties →
+        lexicographically greatest gram)
+      * ``dup_{5..10}gram_char_frac`` (+ legacy dup-trigram): chars in
+        repeat occurrences of word n-grams / total word chars
 
-    Character accounting uses the sum-of-occurrence convention (each
-    repeat occurrence counts its gram's letters) — the tractable
-    interval-free variant common to Gopher reproductions.
+    ``with_word_features`` prepends (n_words, avg_word_len,
+    stopword_hits, stop_distinct) so :func:`gopher_filter` is a single
+    pass over the text.
 
-    Shape: gram arrays are built as pure expressions (zip_with over
-    word slices — no shuffle), then ONE explode per gram family feeds
-    a map-side-combinable groupBy on (key, gram) and a per-key rollup;
-    every aggregate is sum/count so partial aggregation applies. Docs
-    with no lines/words get 0.0 (left join back to the key set).
+    Every statistic is per-document, so the PRODUCTION path
+    (``impl='arrow'``) is one zero-shuffle ``mapInPandas`` pass:
+    Counter/regex per doc, grams never leave the document. The
+    ``impl='catalyst'`` twin expresses the same math as explode +
+    map-side-combinable groupBy per gram family — kept because it is
+    the ANSI-SQL-shaped form the DuckDB oracle replays, and as the
+    cross-impl equality anchor (tests pin arrow == catalyst). Both
+    use the identical float protocol: integer sums (exact in f64) →
+    one double division → HALF_UP round(4), so results are
+    bit-identical across impls and engines.
     """
+    if impl == "arrow":
+        import pandas as pd
+
+        schema = _repetition_schema(df, key, with_word_features)
+        names = [f.name for f in schema.fields]
+        int_cols = {"n_words", "stopword_hits", "stop_distinct"}
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for k, t in zip(pdf[key], pdf[text_col]):
+                    m = _repetition_metrics_py(t if t is not None else "")
+                    rows.append([k] + [m[c] for c in names[1:]])
+                out = pd.DataFrame(rows, columns=names)
+                for c in int_cols & set(names):
+                    out[c] = out[c].astype("int64")
+                yield out
+
+        return df.select(key, text_col).mapInPandas(gen, schema=schema)
+
+    if impl != "catalyst":
+        raise ValueError(f"unknown impl {impl!r}")
+
     import pyspark.sql.functions as F  # local alias for clarity
 
     text = F.col(text_col)
     base = df.select(F.col(key).alias(key), text.alias("_t"))
 
-    lines_arr = F.filter(
-        F.split(F.col("_t"), "\n"), lambda l: F.length(F.trim(l)) > 0
-    )
-    line_stats = (
-        base.select(key, F.explode(lines_arr).alias("line"))
-        .groupBy(key, "line")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy(key)
-        .agg(
-            F.round(1 - F.count("*") / F.sum("cnt"), 4)
-            .alias("dup_line_frac"),
-            F.round(
-                F.sum(F.length("line") * (F.col("cnt") - 1))
-                / F.sum(F.length("line") * F.col("cnt")),
-                4,
-            ).alias("dup_line_char_frac"),
+    def seg_stats(sep: str, prefix: str):
+        arr = F.filter(
+            F.split(F.col("_t"), sep), lambda l: F.length(F.trim(l)) > 0
         )
-    )
+        return (
+            base.select(key, F.explode(arr).alias("seg"))
+            .groupBy(key, "seg")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy(key)
+            .agg(
+                F.round(1 - F.count("*") / F.sum("cnt"), 4)
+                .alias(f"dup_{prefix}_frac"),
+                F.round(
+                    F.sum(F.length("seg") * (F.col("cnt") - 1))
+                    / F.sum(F.length("seg") * F.col("cnt")),
+                    4,
+                ).alias(f"dup_{prefix}_char_frac"),
+            )
+        )
+
+    line_stats = seg_stats("\n", "line")
+    para_stats = seg_stats("\n\n", "para")
 
     words = F.regexp_extract_all(F.lower(F.col("_t")), F.lit(r"[a-z]+"), F.lit(0))
     nw = F.size(words)
@@ -161,66 +319,120 @@ def repetition_features(
             g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
         return g
 
-    wbase = base.select(key, word_chars.alias("wc"),
-                        grams(2).alias("g2"), grams(3).alias("g3"))
+    all_ns = sorted(set(TOP_GRAM_NS) | set(DUP_GRAM_NS))
+    wbase = base.select(
+        key, word_chars.alias("wc"),
+        *[grams(n).alias(f"g{n}") for n in all_ns],
+    )
 
-    def gram_groups(col: str):
-        return (
-            wbase.select(key, "wc", F.explode(col).alias("g"))
+    def gram_rollup(n: int):
+        # grams are single-space-joined pure-letter words, so letter
+        # count == len(gram) - (n-1); each family is ONE explode +
+        # map-side-combinable groupBy + per-key rollup.
+        groups = (
+            wbase.select(key, "wc", F.explode(f"g{n}").alias("g"))
             .groupBy(key, "g")
             .agg(
                 F.count("*").alias("cnt"),
                 F.first("wc").alias("wc"),
-                # letters only: the joining spaces are not gram chars
-                (F.length(F.first("g"))
-                 - F.length(F.regexp_replace(F.first("g"), r"[a-z]", ""))
-                 ).alias("gchars"),
+                (F.length(F.first("g")) - (n - 1)).alias("gchars"),
             )
         )
+        aggs = []
+        if n in TOP_GRAM_NS:
+            top = F.max(F.struct(F.col("cnt"), F.col("g"), F.col("gchars")))
+            aggs.append(
+                F.round(top["cnt"] * top["gchars"] / F.first("wc"), 4)
+                .alias(_top_col(n))
+            )
+        if n in DUP_GRAM_NS:
+            aggs.append(
+                F.round(
+                    F.sum(F.col("gchars") * (F.col("cnt") - 1))
+                    / F.first("wc"), 4,
+                ).alias(_dup_col(n))
+            )
+        return groups.groupBy(key).agg(*aggs)
 
-    top2 = gram_groups("g2").groupBy(key).agg(
-        F.round(
-            F.max(F.struct(F.col("cnt"), F.col("g"), F.col("gchars")))[
-                "cnt"
-            ]
-            * F.max(F.struct(F.col("cnt"), F.col("g"), F.col("gchars")))[
-                "gchars"
-            ]
-            / F.first("wc"),
-            4,
-        ).alias("top_bigram_char_frac")
-    )
-    dup3 = gram_groups("g3").groupBy(key).agg(
-        F.round(
-            F.sum(F.col("gchars") * (F.col("cnt") - 1)) / F.first("wc"), 4
-        ).alias("dup_trigram_char_frac")
-    )
-    keys = base.select(key)
-    out = (
-        keys.join(line_stats, key, "left")
-        .join(top2, key, "left")
-        .join(dup3, key, "left")
-        .na.fill(
-            0.0,
-            ["dup_line_frac", "dup_line_char_frac",
-             "top_bigram_char_frac", "dup_trigram_char_frac"],
+    if with_word_features:
+        stop_hits = F.size(
+            F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
         )
-    )
-    return out
+        stop_distinct = F.size(
+            F.array_distinct(
+                F.filter(words, lambda w: w.isin(*GOPHER_STOPWORDS_8))
+            )
+        )
+        keys = base.select(
+            key,
+            nw.cast("long").alias("n_words"),
+            F.when(nw > 0, F.round(word_chars / nw, 4))
+            .otherwise(0.0).alias("avg_word_len"),
+            stop_hits.cast("long").alias("stopword_hits"),
+            stop_distinct.cast("long").alias("stop_distinct"),
+        )
+    else:
+        keys = base.select(key)
+    out = keys.join(line_stats, key, "left").join(para_stats, key, "left")
+    for n in all_ns:
+        out = out.join(gram_rollup(n), key, "left")
+    lead = [key] + (WORD_FEATURE_COLS if with_word_features else [])
+    return out.na.fill(0.0, REPETITION_COLS).select(*lead, *REPETITION_COLS)
 
 
-GOPHER_THRESHOLDS: dict[str, float] = {
-    # Rae et al. 2021, Table A1 (quality filtering heuristics)
+GOPHER_THRESHOLDS: dict[str, float | None] = {
+    # Rae et al. 2021, Table A1 (quality filtering heuristics).
+    # min_stop_distinct implements the paper's ">= 2 of the 8 stop
+    # words" presence rule (distinct words from GOPHER_STOPWORDS_8);
+    # the two None entries are legacy framework-specific gates kept
+    # for opt-in (hit-count over EN_STOPWORDS; sum-over-repeats
+    # trigram fraction, which Table A1 does NOT define — the paper's
+    # 0.18 is the TOP-3-gram threshold, applied here as
+    # max_top_trigram_char_frac).
     "min_words": 50,
     "max_words": 100_000,
     "min_avg_word_len": 3.0,
     "max_avg_word_len": 10.0,
-    "min_stopword_hits": 2,
+    "min_stop_distinct": 2,
+    "min_stopword_hits": None,
     "max_dup_line_frac": 0.30,
+    "max_dup_para_frac": 0.30,
     "max_dup_line_char_frac": 0.20,
+    "max_dup_para_char_frac": 0.20,
     "max_top_bigram_char_frac": 0.20,
-    "max_dup_trigram_char_frac": 0.18,
+    "max_top_trigram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+    "max_dup_trigram_char_frac": None,
+    "max_dup_5gram_char_frac": 0.15,
+    "max_dup_6gram_char_frac": 0.14,
+    "max_dup_7gram_char_frac": 0.13,
+    "max_dup_8gram_char_frac": 0.12,
+    "max_dup_9gram_char_frac": 0.11,
+    "max_dup_10gram_char_frac": 0.10,
 }
+
+# (reject_reason label, feature column, comparison, threshold key) in
+# gate order — the single source of truth shared with the DuckDB
+# oracle generator in __spark_entry__. A None threshold skips the rule.
+GOPHER_GATE_RULES: list[tuple[str, str, str, str]] = [
+    ("too_few_words", "n_words", "<", "min_words"),
+    ("too_many_words", "n_words", ">", "max_words"),
+    ("avg_word_len", "avg_word_len", "<", "min_avg_word_len"),
+    ("avg_word_len", "avg_word_len", ">", "max_avg_word_len"),
+    ("stopwords", "stop_distinct", "<", "min_stop_distinct"),
+    ("stopword_hits", "stopword_hits", "<", "min_stopword_hits"),
+    ("dup_lines", "dup_line_frac", ">", "max_dup_line_frac"),
+    ("dup_paras", "dup_para_frac", ">", "max_dup_para_frac"),
+    ("dup_line_chars", "dup_line_char_frac", ">", "max_dup_line_char_frac"),
+    ("dup_para_chars", "dup_para_char_frac", ">", "max_dup_para_char_frac"),
+    ("top_bigram", "top_bigram_char_frac", ">", "max_top_bigram_char_frac"),
+    ("top_trigram", "top_trigram_char_frac", ">", "max_top_trigram_char_frac"),
+    ("top_4gram", "top_4gram_char_frac", ">", "max_top_4gram_char_frac"),
+    ("dup_trigram", "dup_trigram_char_frac", ">", "max_dup_trigram_char_frac"),
+] + [
+    (f"dup_{n}gram", _dup_col(n), ">", f"max_dup_{n}gram_char_frac")
+    for n in (5, 6, 7, 8, 9, 10)
+]
 
 
 def gopher_filter(
@@ -228,60 +440,34 @@ def gopher_filter(
     key: str = "doc_id",
     text_col: str = "text",
     thresholds: dict | None = None,
+    impl: str = "arrow",
 ):
-    """The Gopher quality GATE: compose the word/length/stopword
-    heuristics with the repetition signals into a per-document
-    keep/drop decision plus the FIRST failing rule as
-    ``reject_reason`` (rule order below = the order the checks are
-    listed in Rae et al. Table A1; NULL reason = keep). Returns
-    (key, n_words, avg_word_len, stopword_hits, the four repetition
-    fractions, keep, reject_reason).
+    """The Gopher quality GATE (Rae et al. 2021, Table A1): word/
+    length/stopword heuristics + the full repetition signal set →
+    per-document keep/drop plus the FIRST failing rule as
+    ``reject_reason`` (order = GOPHER_GATE_RULES; NULL reason = keep).
+    Returns (key, word features, repetition fractions, reject_reason,
+    keep).
 
-    One narrow pass for the expression features + the
-    repetition_features shuffles + a co-partitioned key join — at
-    corpus scale the filter costs what the repetition counters cost.
+    Single pass over the text: the word features ride along inside
+    :func:`repetition_features` (``with_word_features=True``) — with
+    ``impl='arrow'`` the whole gate is one zero-shuffle mapInPandas
+    stage plus cheap expression post-processing; ``impl='catalyst'``
+    is the oracle-shaped twin.
     """
     import pyspark.sql.functions as F
 
     t = {**GOPHER_THRESHOLDS, **(thresholds or {})}
-    text = F.col(text_col)
-    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), F.lit(0))
-    n_words = F.size(words)
-    word_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    feats = repetition_features(
+        df, key=key, text_col=text_col, impl=impl, with_word_features=True
     )
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
-    q = df.select(
-        F.col(key).alias(key),
-        n_words.cast("long").alias("n_words"),
-        F.when(n_words > 0, F.round(word_chars / n_words, 4))
-        .otherwise(0.0)
-        .alias("avg_word_len"),
-        stop_hits.cast("long").alias("stopword_hits"),
-    )
-    rep = repetition_features(df, key=key, text_col=text_col)
-    j = q.join(rep, key)
-    reason = (
-        F.when(F.col("n_words") < t["min_words"], "too_few_words")
-        .when(F.col("n_words") > t["max_words"], "too_many_words")
-        .when(F.col("avg_word_len") < t["min_avg_word_len"], "avg_word_len")
-        .when(F.col("avg_word_len") > t["max_avg_word_len"], "avg_word_len")
-        .when(F.col("stopword_hits") < t["min_stopword_hits"], "stopwords")
-        .when(F.col("dup_line_frac") > t["max_dup_line_frac"], "dup_lines")
-        .when(
-            F.col("dup_line_char_frac") > t["max_dup_line_char_frac"],
-            "dup_line_chars",
-        )
-        .when(
-            F.col("top_bigram_char_frac") > t["max_top_bigram_char_frac"],
-            "top_bigram",
-        )
-        .when(
-            F.col("dup_trigram_char_frac") > t["max_dup_trigram_char_frac"],
-            "dup_trigram",
-        )
-    )
-    return j.select(
+    reason = None
+    for label, col, op, tkey in GOPHER_GATE_RULES:
+        if t.get(tkey) is None:
+            continue
+        cond = (F.col(col) < t[tkey]) if op == "<" else (F.col(col) > t[tkey])
+        reason = F.when(cond, label) if reason is None else reason.when(cond, label)
+    return feats.select(
         "*", reason.alias("reject_reason"),
         reason.isNull().alias("keep"),
     )

@@ -271,8 +271,14 @@ def test_process_filter_quality(spark):
     p = Process().load(docs).filter_quality(thresholds={"min_words": 10})
     kept = {r["doc_id"] for r in p.extract_content().select("doc_id").collect()}
     assert kept == {"g"}
-    # keep_rejects leaves the corpus intact
+    # keep_rejects leaves the corpus intact but stashes the verdict
     p2 = Process().load(docs).filter_quality(
         thresholds={"min_words": 10}, keep_rejects=True
     )
     assert p2.extract_content().count() == 2
+    report = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in p2.quality_report.collect()
+    }
+    assert report["g"] == (True, None)
+    assert report["tiny"] == (False, "too_few_words")

@@ -188,6 +188,81 @@ def test_repetition_features_golden(spark):
     assert c["top_bigram_char_frac"] == round(6 / 9, 4)
 
 
+def test_repetition_arrow_catalyst_equal(spark):
+    """The zero-shuffle Arrow production path must be value-identical
+    to the Catalyst/oracle twin — same float protocol (integer sums →
+    one double division → HALF_UP round(4)), same trim semantics
+    (0x20 only), same tie-breaks — over paragraphs, empty text, ties,
+    unicode, and planted repetition."""
+    from extractthinker_spark.functions.textstats import (
+        gopher_filter,
+        repetition_features,
+    )
+
+    rows = [
+        ("a", "hello\nwide open\nhello"),
+        ("b", "one two three"),
+        ("c", "a b c a b c a b c"),
+        ("empty", ""),
+        ("ws", " \n\t\n  \n"),
+        ("para", "para one here\n\npara two here\n\npara one here"),
+        ("longdup", "the quick brown fox jumps high " * 20),
+        ("uni", "héllo wörld ünïcode ÉLAN über\nhéllo wörld"),
+        ("tie", "x y a b x y a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def norm(d):
+        return sorted(tuple(r) for r in d.select(*sorted(d.columns)).collect())
+
+    ar = repetition_features(df, impl="arrow")
+    ca = repetition_features(df, impl="catalyst")
+    assert ar.columns == ca.columns
+    assert norm(ar) == norm(ca)
+    ga = gopher_filter(df, thresholds={"min_words": 3}, impl="arrow")
+    gc = gopher_filter(df, thresholds={"min_words": 3}, impl="catalyst")
+    assert ga.columns == gc.columns
+    assert norm(ga) == norm(gc)
+
+
+def test_repetition_full_table_a1_metrics(spark):
+    """The Table A1 extensions: paragraph dup fractions, top-3/4-gram,
+    dup-5..10-gram — hand-computed goldens."""
+    from extractthinker_spark.functions.textstats import repetition_features
+
+    # 8 words "v w x y z q r s" repeated 3x = 24 words, wc = 24 chars.
+    # Every 5-gram..10-gram window that recurs: n-grams over a
+    # period-8 sequence repeat (24 - n + 1) windows, distinct = 8 for
+    # n <= 16, so dup chars = sum over distinct grams of
+    # n*(cnt-1)... easier pinned numerically below.
+    text = " ".join(["v w x y z q r s"] * 3)
+    para = "alpha beta\n\ngamma delta\n\nalpha beta"
+    df = spark.createDataFrame(
+        [("p", para), ("r", text)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    p = got["p"]
+    # paras: [alpha beta, gamma delta, alpha beta] -> 1 - 2/3
+    assert p["dup_para_frac"] == round(1 - 2 / 3, 4)
+    # dup chars 10*(2-1)=10; total 10*2+11 = 31
+    assert p["dup_para_char_frac"] == round(10 / 31, 4)
+    r = got["r"]
+    # period-8 word stream, 24 words, wc=24. For n-grams: total
+    # windows 24-n+1, 8 distinct (each seen ceil/floor), repeat
+    # occurrences = (24-n+1) - 8, each counting n letters.
+    for n, col in [(5, "dup_5gram_char_frac"), (7, "dup_7gram_char_frac"),
+                   (10, "dup_10gram_char_frac")]:
+        windows = 24 - n + 1
+        expect = round(n * (windows - 8) / 24, 4)
+        assert r[col] == expect, (n, r[col], expect)
+    # top 4-gram: all 8 distinct 4-grams appear ceil(21/8)=3 or 2
+    # times; max cnt=3 achieved by the first 5 windows' grams; ties ->
+    # lexicographically greatest gram among cnt=3: grams starting at
+    # positions 0..4 of the period: "v w x y","w x y z","x y z q",
+    # "y z q r","z q r s" -> greatest is "z q r s"; frac = 3*4/24
+    assert r["top_4gram_char_frac"] == round(12 / 24, 4)
+
+
 def test_gopher_filter_gate(spark):
     """First-failing-rule semantics and threshold boundaries."""
     from extractthinker_spark.functions.textstats import gopher_filter

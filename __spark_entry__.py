@@ -1393,6 +1393,126 @@ _PARSE_RAW_SQL = r"""
 """
 
 
+def _raw_two_page_base(spark, sf):
+    """Shared construction for the raw-bytes value-level queries: two
+    sanitized page texts per document (parens/backslashes stripped so
+    PDF escaping is unambiguous; pure ASCII so cp1252 round-trips)."""
+    d = _tp(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("doc_id") % 2 == 0).alias("flag"),
+        F.regexp_replace(F.substring("text", 1, 40), r"[()\\]", "")
+        .alias("l1"),
+        F.concat(
+            F.lit("tail: "),
+            F.regexp_replace(F.substring("text", 41, 40), r"[()\\]", ""),
+        ).alias("l2"),
+    )
+
+
+_RAW_TWO_PAGE_SQL = r"""l AS (SELECT doc_id::VARCHAR AS doc_id,
+           regexp_replace(substring(text, 1, 40), '[()\\]', '', 'g') AS l1,
+           'tail: ' || regexp_replace(substring(text, 41, 40),
+                                      '[()\\]', '', 'g') AS l2
+         FROM documents)"""
+
+
+def _q_legacy_doc_spans(spark, sf):
+    """Legacy .doc bytes through the REAL OLE2/CFB + FIB + piece-table
+    decoder (rawbytes.cfb_streams/decode_doc_pages; the reference's
+    .doc family goes through MarkItDown,
+    document_loader_markitdown.py:170-253): each document's two page
+    texts are packed into a by-construction compound file (even
+    doc_ids: UTF-16LE pieces in a >=4096-byte stream, exercising the
+    regular-FAT path AND the open-the-container format refinement —
+    their directory sits past the sniff window; odd: cp1252 pieces in
+    the mini stream) and the decoder must recover them exactly. The
+    oracle replays the by-construction pages (decode(encode(x)) == x
+    for ASCII)."""
+    from extractthinker_spark.operators.parse_core import strip_page_header
+    from extractthinker_spark.operators.rawbytes import (
+        make_fixture_doc,
+        parse_raw_bytes,
+    )
+
+    base = _raw_two_page_base(spark, sf)
+
+    def build(batches):
+        for pdf in batches:
+            pdf = pdf.assign(raw=[
+                make_fixture_doc([l1, l2], unicode=bool(u))
+                for l1, l2, u in zip(pdf["l1"], pdf["l2"], pdf["flag"])
+            ])
+            yield pdf[["doc_id", "raw"]]
+
+    raw = base.mapInPandas(build, schema="doc_id string, raw binary")
+    parsed = parse_raw_bytes(raw)
+    return parsed.select(
+        "doc_id", "format", F.explode("spans").alias("s")
+    ).select(
+        "doc_id", "format",
+        (F.col("s.offset") + 1).alias("page_no"),
+        strip_page_header(F.col("s.text")).alias("content"),
+    )
+
+
+_LEGACY_DOC_SQL = rf"""
+    WITH {_RAW_TWO_PAGE_SQL}
+    SELECT doc_id, 'doc' AS format, 1 AS page_no, l1 AS content FROM l
+    UNION ALL
+    SELECT doc_id, 'doc' AS format, 2 AS page_no, l2 AS content FROM l
+"""
+
+
+def _q_pdf_tree_spans(spark, sf):
+    """PDF page-TREE ordering + hex-string show operators, value-level:
+    by-construction PDFs whose content-stream objects are written in
+    REVERSE file order — only /Catalog → /Pages → /Kids traversal
+    recovers page order (pypdf's trailer semantics,
+    document_loader_pypdf.py:104-152). Even doc_ids use ``<hex> Tj``
+    show operators, doc_id % 3 == 0 adds FlateDecode compression."""
+    from extractthinker_spark.operators.parse_core import strip_page_header
+    from extractthinker_spark.operators.rawbytes import (
+        make_fixture_pdf_tree,
+        parse_raw_bytes,
+    )
+
+    base = _raw_two_page_base(spark, sf).withColumn(
+        "z", F.col("doc_id").cast("long") % 3 == 0
+    )
+
+    def build(batches):
+        for pdf in batches:
+            pdf = pdf.assign(raw=[
+                make_fixture_pdf_tree(
+                    [l1, l2], hex_strings=bool(u), compress=bool(z),
+                    scramble=True,
+                )
+                for l1, l2, u, z in zip(
+                    pdf["l1"], pdf["l2"], pdf["flag"], pdf["z"]
+                )
+            ])
+            yield pdf[["doc_id", "raw"]]
+
+    raw = base.mapInPandas(build, schema="doc_id string, raw binary")
+    parsed = parse_raw_bytes(raw)
+    return parsed.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s.offset") + 1).alias("page_no"),
+        strip_page_header(F.col("s.text")).alias("content"),
+    )
+
+
+_PDF_TREE_SQL = rf"""
+    WITH {_RAW_TWO_PAGE_SQL}
+    SELECT doc_id, 1 AS page_no, l1 AS content FROM l
+    UNION ALL
+    SELECT doc_id, 2 AS page_no, l2 AS content FROM l
+"""
+
+
 def _q_media_meta_dims(spark, sf):
     """Header-level media metadata, value-level: minimal PNG bytes
     (signature + IHDR) with width/height derived from doc_id; the REAL
@@ -1545,6 +1665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "concat_parts": _q_concat_parts,
         "parse_raw_spans": _q_parse_raw_spans,
+        "legacy_doc_spans": _q_legacy_doc_spans,
+        "pdf_tree_spans": _q_pdf_tree_spans,
         "media_meta_dims": _q_media_meta_dims,
     }
 
@@ -2464,6 +2586,8 @@ def oracle_sql() -> dict[str, str]:
     sql["gopher_filter"] = _gopher_sql()
     sql["concat_parts"] = _concat_parts_sql()
     sql["parse_raw_spans"] = _PARSE_RAW_SQL
+    sql["legacy_doc_spans"] = _LEGACY_DOC_SQL
+    sql["pdf_tree_spans"] = _PDF_TREE_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5

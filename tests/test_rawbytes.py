@@ -504,3 +504,121 @@ def test_jsonl_line_records(spark):
     assert [s["offset"] for s in out["j1"]["spans"]] == [0, 1, 2]
     # without the hint the content sniff still says json (text branch)
     assert out["j2"]["format"] == "json"
+
+
+def test_cfb_roundtrip_mini_and_big_streams():
+    """The CFB reader handles both chain kinds: small streams through
+    the mini stream + miniFAT, >=4096-byte streams through regular FAT
+    chains ([MS-CFB] layout real Office writers emit)."""
+    from extractthinker_spark.operators.rawbytes import (
+        cfb_streams,
+        make_fixture_cfb,
+    )
+
+    small = b"tiny stream payload"
+    big = bytes(range(256)) * 20  # 5120 bytes -> regular chain
+    box = make_fixture_cfb({"Small": small, "BigStream": big, "Empty": b""})
+    got = cfb_streams(box)
+    assert got["Small"] == small
+    assert got["BigStream"] == big
+    assert got["Empty"] == b""
+
+
+def test_legacy_office_golden_decode():
+    """doc/ppt/xls decoders recover the by-construction content: piece
+    table text with page breaks (cp1252 AND UTF-16 pieces), slide
+    atoms split at SlidePersistAtom, SST/LabelSst cell grids."""
+    from extractthinker_spark.operators.rawbytes import (
+        decode_doc_pages,
+        decode_ppt_pages,
+        decode_xls_sheets,
+        make_fixture_doc,
+        make_fixture_ppt,
+        make_fixture_xls,
+    )
+
+    pages = ["Contract No. 7\nParty: Acme", "Signature page"]
+    assert decode_doc_pages(make_fixture_doc(pages)) == pages
+    uni = ["Übersicht Straße", "Çöp sayfası"]
+    assert decode_doc_pages(make_fixture_doc(uni, unicode=True)) == uni
+    assert decode_ppt_pages(make_fixture_ppt(pages)) == [
+        p.replace("\n", "\n") for p in pages
+    ]
+    assert decode_ppt_pages(make_fixture_ppt(uni, unicode=True)) == uni
+    sheets = [("Revenue", [["q1", "q2"], ["100", "200"]]), ("Notes", [["ok"]])]
+    assert decode_xls_sheets(make_fixture_xls(sheets)) == [
+        ("Revenue", "q1 | q2\n100 | 200"),
+        ("Notes", "ok"),
+    ]
+
+
+def test_legacy_office_spans_and_corrupt_guard(spark):
+    """parse_raw_bytes: legacy Office bytes decode to spans (including
+    a CFB whose directory sits past the sniff window — refined by
+    opening the container); identified-but-undecodable containers get
+    an explicit marker span instead of silently vanishing; a corrupt
+    file degrades to a 'corrupt:<fmt>' row instead of failing the
+    whole task (the checkpointed-stream poison-pill case)."""
+    from extractthinker_spark.operators.rawbytes import (
+        make_fixture_cfb,
+        make_fixture_doc,
+        make_fixture_ppt,
+        make_fixture_xls,
+    )
+    import zipfile as _zf
+    from io import BytesIO as _B
+
+    plain_zip = _B()
+    with _zf.ZipFile(plain_zip, "w") as z:
+        z.writestr("data/notes.txt", "hi")
+    rows = [
+        ("d1", make_fixture_doc(["Alpha page", "Beta page"])),
+        ("d2", make_fixture_doc(["Löng ünïcode " * 400], unicode=True)),
+        ("p1", make_fixture_ppt(["Slide A", "Slide B"])),
+        ("x1", make_fixture_xls([("S", [["a", "b"]])])),
+        ("o1", make_fixture_cfb({"CustomStream": b"opaque"})),
+        ("z1", plain_zip.getvalue()),
+        ("c1", make_fixture_docx(["page"])[:200]),  # truncated zip
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, raw binary")
+    out = {r["doc_id"]: r for r in parse_raw_bytes(df).collect()}
+
+    assert out["d1"]["format"] == "doc"
+    assert [s["text"] for s in out["d1"]["spans"]] == [
+        "\fPAGE 1\nAlpha page", "\fPAGE 2\nBeta page",
+    ]
+    # directory beyond 4096 bytes: sniff says ole2, decode refines
+    assert out["d2"]["format"] == "doc"
+    assert out["d2"]["spans"][0]["text"].startswith("\fPAGE 1\nLöng ünïcode")
+    assert out["p1"]["format"] == "ppt"
+    assert [s["kind"] for s in out["p1"]["spans"]] == ["pdf_text"] * 2
+    assert out["x1"]["format"] == "xls"
+    assert out["x1"]["spans"][0]["text"] == "\fSHEET S\na | b"
+    assert out["o1"]["format"] == "ole2"
+    assert out["o1"]["spans"][0]["media_ref"] == "bytes:ole2"
+    assert out["z1"]["format"] == "zip"
+    assert out["z1"]["spans"][0]["media_ref"] == "bytes:zip"
+    assert out["c1"]["format"] == "corrupt:docx"
+    assert out["c1"]["spans"] == []
+
+
+def test_pdf_tree_order_and_hex_strings():
+    """Page-tree PDFs decode in TREE order even when content streams
+    are scrambled in the file; hex-string show operators (<hex> Tj and
+    TJ array elements) decode alongside literals."""
+    from extractthinker_spark.operators.rawbytes import make_fixture_pdf_tree
+
+    pages = ["one alpha", "two beta", "three gamma", "four delta"]
+    assert decode_pdf_pages(
+        make_fixture_pdf_tree(pages, scramble=True)
+    ) == pages
+    assert decode_pdf_pages(
+        make_fixture_pdf_tree(pages, compress=True, scramble=True)
+    ) == pages
+    hexy = ["héx page (with) parens\nand a second line", "für zwei"]
+    assert decode_pdf_pages(
+        make_fixture_pdf_tree(hexy, hex_strings=True, compress=True)
+    ) == hexy
+    raw = (b"%PDF-1.4\nBT <48656c6c6f> Tj ET\n"
+           b"BT [(mix) <2d6865> (done)] TJ ET\n%%EOF")
+    assert decode_pdf_pages(raw) == ["Hello", "mix-hedone"]

@@ -138,27 +138,7 @@ def minhash_lsh_candidates(
     high probability via their other ``bands-1`` buckets unless those
     are capped too (i.e. the cluster really is huge).
     """
-    rows_per_band = num_perm // bands
-    sig = minhash_signatures_df(df, key, text_col, num_perm, shingle_k)
-    banded = sig.select(
-        "_k",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select("_k", "e.band", "e.bh")
+    banded = minhash_banded(df, key, text_col, num_perm, bands, shingle_k)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bh")
         banded = (
@@ -179,6 +159,66 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def minhash_banded(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(key, band, band_hash) rows — the LSH bucket assignment shared
+    by the candidate join and the bucket-size audit."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures_df(df, key, text_col, num_perm, shingle_k)
+    return sig.select(
+        "_k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("_k", "e.band", "e.bh")
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Audit companion for the band-bucket cap: one row per band
+    bucket with its ``size`` and whether the cap would drop it
+    (``capped``). ``df.filter('capped').count()`` is the exact number
+    of buckets the candidate join skipped — the cap must never be a
+    SILENT recall loss (ADVICE r3): a curation run should record this
+    next to its outputs (see dedup_minhash(return_stats=True))."""
+    sizes = (
+        minhash_banded(df, key, text_col, num_perm, bands, shingle_k)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    capped = (
+        F.lit(False) if max_bucket_size is None
+        else F.col("size") > max_bucket_size
+    )
+    return sizes.select("band", "bh", "size", capped.alias("capped"))
 
 
 def verify_jaccard(
@@ -220,15 +260,27 @@ def dedup_minhash(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = 1000,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """Full MinHash pipeline: LSH candidates → verified Jaccard pairs.
     The band-bucket cap defaults ON (see minhash_lsh_candidates) —
     pass ``max_bucket_size=None`` for exhaustive pairs on corpora known
-    to be exact-dedup'd first."""
+    to be exact-dedup'd first. The cap loses recall inside huge
+    duplicate clusters; it must never do so silently —
+    ``return_stats=True`` additionally returns the bucket audit
+    DataFrame (minhash_bucket_stats) so runs can record how many
+    buckets were skipped."""
     cands = minhash_lsh_candidates(
         df, key, text_col, num_perm, bands, max_bucket_size=max_bucket_size
     )
-    return verify_jaccard(cands, df, key, text_col, threshold)
+    pairs = verify_jaccard(cands, df, key, text_col, threshold)
+    if return_stats:
+        stats = minhash_bucket_stats(
+            df, key, text_col, num_perm, bands,
+            max_bucket_size=max_bucket_size,
+        )
+        return pairs, stats
+    return pairs
 
 
 # --------------------------------------------------------------------------

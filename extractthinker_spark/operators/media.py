@@ -77,6 +77,10 @@ def sniff_format(b: bytes | None) -> str | None:
         return "wav"
     if b[:2] == b"BM":
         return "bmp"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if b[:4] == b"\x00\x00\x01\x00":
+        return "ico"
     return "unknown"
 
 
@@ -127,6 +131,35 @@ def parse_dimensions(b: bytes | None) -> tuple[int | None, int | None]:
                     h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                     return int(w), int(h)
                 i += 2 + seg_len
+        if fmt == "tiff" and len(b) >= 8:
+            # IFD walk: tags 256 (ImageWidth) / 257 (ImageLength),
+            # SHORT or LONG values, both endiannesses (TIFF 6.0 §2)
+            end = "<" if b[:2] == b"II" else ">"
+            ifd_off = struct.unpack(end + "I", b[4:8])[0]
+            if ifd_off + 2 <= len(b):
+                count = struct.unpack(end + "H", b[ifd_off : ifd_off + 2])[0]
+                w = h = None
+                for e in range(count):
+                    off = ifd_off + 2 + 12 * e
+                    if off + 12 > len(b):
+                        break
+                    tag, typ = struct.unpack(end + "HH", b[off : off + 4])
+                    if tag not in (256, 257):
+                        continue
+                    if typ == 3:  # SHORT (left-justified in the field)
+                        val = struct.unpack(end + "H", b[off + 8 : off + 10])[0]
+                    else:  # LONG
+                        val = struct.unpack(end + "I", b[off + 8 : off + 12])[0]
+                    if tag == 256:
+                        w = int(val)
+                    else:
+                        h = int(val)
+                if w is not None and h is not None:
+                    return w, h
+        if fmt == "ico" and len(b) >= 8:
+            # first ICONDIRENTRY: byte w/h, 0 means 256
+            w, h = b[6], b[7]
+            return (w or 256), (h or 256)
     except (struct.error, IndexError):
         pass
     return None, None
@@ -265,15 +298,16 @@ def make_fixture_png(
 ) -> bytes:
     """Deterministic in-memory PNG encoder (real zlib stream, correct
     CRCs) for the decode goldens. ``pixels`` is uint8 (h, w) gray,
-    (h, w, 3) RGB or (h, w, 4) RGBA; ``filter_type`` applies one scanline
-    filter (0-4) to every row so each unfilter branch is testable."""
+    (h, w, 2) gray+alpha, (h, w, 3) RGB or (h, w, 4) RGBA;
+    ``filter_type`` applies one scanline filter (0-4) to every row so
+    each unfilter branch is testable."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         h, w, channels, ctype = px.shape[0], px.shape[1], 1, 0
         flat = px.reshape(h, w)[:, :, None]
     else:
         h, w, channels = px.shape
-        ctype = {1: 0, 3: 2, 4: 6}[channels]
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
         flat = px
     stride = w * channels
     prior = bytearray(stride)
@@ -334,12 +368,15 @@ N_FEATURES = 16
 
 
 def _luminance(px: np.ndarray) -> np.ndarray:
-    """uint8 luminance plane from decoded pixels: gray passthrough,
-    RGB/RGBA integer-mean of the first three channels (deterministic
-    integer arithmetic — no float weights to disagree across
-    platforms)."""
+    """uint8 luminance plane from decoded pixels: gray passthrough
+    (2-channel gray+alpha uses the gray channel only — alpha is not
+    luminance), RGB/RGBA integer-mean of the three color channels
+    (deterministic integer arithmetic — no float weights to disagree
+    across platforms)."""
     if px.ndim == 2:
         return px
+    if px.shape[2] == 2:  # gray + alpha (PNG color type 4, PIL 'LA')
+        return px[:, :, 0]
     return (px[:, :, :3].astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
 
 

@@ -417,6 +417,7 @@ def lloyd_centroids_portable(
     iters: int = 2,
     sample_pct: int | None = None,
     impl: str = "expr",
+    corpus_rows: int | None = None,
 ) -> list[list[float]]:
     """Deterministic, cross-engine-derivable IVF centroids.
 
@@ -431,33 +432,54 @@ def lloyd_centroids_portable(
 
     Scale shape: training runs on the ``sample_pct`` portable sample.
     ``None`` (the default) DERIVES the smallest percentage keeping
-    ~256×n_lists training rows (FAISS convention) from a corpus count,
-    so the init's global row_number sort never runs over the full
-    corpus by accident; pass an explicit percentage when an oracle
-    must replay the sampling. Per-round driver traffic is n_lists×dim
-    doubles (the collected means), never vectors. The global
-    row_number for init runs on the SAMPLE only — a single-partition
-    sort of a bounded set, not the corpus.
+    ~256×n_lists training rows (FAISS convention) — from the
+    ``corpus_rows`` hint (table metadata) with NO job scheduled, or
+    from a count job when no hint is given; pass an explicit
+    percentage when an oracle must replay the sampling. Per-round
+    driver traffic is n_lists×dim doubles (the collected means), never
+    vectors. The global row_number for init runs on the SAMPLE only —
+    a single-partition sort of a bounded set, not the corpus — and the
+    sample size it needs rides a count window on that same sort, so
+    init is ONE job, not a count plus a collect.
     """
     train = corpus.select(F.col(key).alias("_k"), F.col(vec_col).alias("v"))
     if sample_pct is None:
-        n0 = train.count()
         target = 256 * n_lists
+        if corpus_rows is not None:
+            n0 = corpus_rows
+        else:
+            # documented fallback: a count job at plan-build. Pass
+            # corpus_rows (table metadata) to avoid it — the
+            # ann_topk_ivf pattern.
+            n0 = train.count()
         sample_pct = min(100, max(1, -(-100 * target // max(1, n0))))
     if sample_pct < 100:
         train = train.filter(portable_sample_pred(F.col("_k"), sample_pct))
-    n = train.count()
-    if n < n_lists:
-        raise ValueError(f"training set has {n} rows < n_lists={n_lists}")
-    ranks = sorted({(i * n) // n_lists + 1 for i in range(n_lists)})
+    # Init ranks {floor(i*n/k)+1} WITHOUT a separate count() action:
+    # rank r is an init rank iff ceil((r-1)*k/n) < ceil(r*k/n) (the
+    # interval [ (r-1)*k, r*k ) contains a multiple of n — identity
+    # fuzz-pinned in tests), with n supplied by a count window over
+    # the SAME single-partition sort row_number already requires. One
+    # job total for the init instead of two.
     w = Window.orderBy("_k")
+    r, n = F.col("rnk"), F.col("_n")
+    k_ = F.lit(n_lists)
+    is_init = (
+        F.floor(((r - 1) * k_ + n - 1) / n) < F.floor((r * k_ + n - 1) / n)
+    )
     init_rows = (
         train.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk").isin(ranks))
+        .withColumn("_n", F.count("*").over(Window.partitionBy()))
+        .filter(is_init)
         .orderBy("rnk")
         .select("v")
         .collect()
     )
+    if len(init_rows) < n_lists:
+        raise ValueError(
+            f"training set has {len(init_rows)} usable init rows "
+            f"< n_lists={n_lists}"
+        )
     cents = [list(map(float, r["v"])) for r in init_rows]
     for _ in range(iters):
         if impl == "arrow":

@@ -103,8 +103,17 @@ class CheckpointedRun:
         documents: DataFrame,
         transform: Callable[[DataFrame], DataFrame],
         _fail_after_waves: int | None = None,
+        audit: Callable[[DataFrame], DataFrame] | None = None,
+        audit_name: str = "audit",
     ) -> dict:
-        """Process all not-yet-done buckets in waves; return run stats."""
+        """Process all not-yet-done buckets in waves; return run stats.
+
+        ``audit`` (optional) maps each wave's INPUT slice to a small
+        DataFrame written under ``_metrics/<audit_name>-wave-N``
+        BEFORE the wave's manifests commit — so a side-channel like
+        quality-gate reject reasons rides the same resume semantics:
+        a re-run wave overwrites its audit output, a skipped bucket's
+        audit stays as committed."""
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.metrics_dir, exist_ok=True)
@@ -132,14 +141,26 @@ class CheckpointedRun:
             out.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
 
             # Lineage metrics for the wave (reads back the small wave
-            # output — bounded by wave size, not corpus size).
-            wave_out = spark.read.parquet(tmp)
+            # output — bounded by wave size, not corpus size). Explicit
+            # schema: a fully-filtered wave (e.g. quality gate drops
+            # every doc) writes an EMPTY dataset, which cannot infer.
+            wave_out = (
+                spark.read.option("basePath", tmp)
+                .schema(out.schema).parquet(tmp)
+            )
             metrics = task_metrics(wave_out).withColumn(
                 "wave", F.lit(wave_no)
             )
             metrics.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(self.metrics_dir, f"wave-{wave[0]:05d}")
             )
+            if audit is not None:
+                audit(wave_in).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.metrics_dir,
+                        f"{audit_name}-wave-{wave[0]:05d}",
+                    )
+                )
             per_bucket = {
                 r["bucket"]: r
                 for r in wave_out.groupBy("bucket")
@@ -190,4 +211,11 @@ class CheckpointedRun:
         )
 
     def read_metrics(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.metrics_dir, "*"))
+        return spark.read.parquet(os.path.join(self.metrics_dir, "wave-*"))
+
+    def read_audit(
+        self, spark: SparkSession, audit_name: str = "audit"
+    ) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.metrics_dir, f"{audit_name}-wave-*")
+        )

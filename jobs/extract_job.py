@@ -50,6 +50,15 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
     ap.add_argument("--wave-size", type=int, default=16)
     ap.add_argument("--salt-partitions", type=int, default=0,
                     help="salted repartition width before extraction (0 = skip)")
+    ap.add_argument("--quality-gate", action="store_true",
+                    help="drop documents failing the Gopher quality gate "
+                         "(over STRIPPED content); reject reasons are "
+                         "written per wave under <output>/_metrics/"
+                         "quality-wave-N and ride the same resume "
+                         "semantics as the data")
+    ap.add_argument("--quality-thresholds", default=None,
+                    help="JSON dict of Gopher threshold overrides, "
+                         "e.g. '{\"min_words\": 20}'")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -84,6 +93,26 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
 
         documents = corpus_spark(spark, args.synthetic)
 
+    gate_thresholds = (
+        json.loads(args.quality_thresholds)
+        if args.quality_thresholds else None
+    )
+
+    def gate_verdict(df):
+        """Gopher verdict over the wave's STRIPPED content (the
+        curation rule: boilerplate must not count toward
+        repetition/stopword signals) — zero-shuffle Arrow pass."""
+        import pyspark.sql.functions as F
+
+        from extractthinker_spark.functions.textstats import gopher_filter
+        from extractthinker_spark.plans.pipeline import doc_text
+
+        merged = doc_text(extract_main_content(df, nest=True))
+        return gopher_filter(
+            merged.select("doc_id", F.col("content").alias("text")),
+            thresholds=gate_thresholds,
+        )
+
     def transform(df):
         # The flagship pipeline is span-granular after explode, so skew
         # is handled by the salted repartition (mega-doc sub-batching,
@@ -92,7 +121,20 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
         # see the whole document anyway).
         if args.salt_partitions:
             df = salt_repartition(df, args.salt_partitions)
-        return extract_main_content(df, nest=True)
+        out = extract_main_content(df, nest=True)
+        if args.quality_gate:
+            import pyspark.sql.functions as F
+
+            keep = gate_verdict(df).filter(F.col("keep")).select("doc_id")
+            out = out.join(keep, "doc_id")
+        return out
+
+    audit = None
+    if args.quality_gate:
+        def audit(df):
+            return gate_verdict(df).select(
+                "doc_id", "keep", "reject_reason", "n_words",
+            )
 
     run = CheckpointedRun(
         args.output,
@@ -101,7 +143,8 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
         input_token=args.input_token,
     )
     t0 = time.time()
-    stats = run.run(spark, documents, transform)
+    stats = run.run(spark, documents, transform, audit=audit,
+                    audit_name="quality")
     stats["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     if stop:

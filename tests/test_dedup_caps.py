@@ -92,6 +92,20 @@ def test_minhash_bucket_cap_default_on(spark):
     )
     assert uncapped.count() >= 60 * 59 // 2
 
+    # the cap is never a SILENT recall loss (ADVICE r3): the audit
+    # companion reports exactly which buckets the join skipped
+    from extractthinker_spark.operators.dedup import minhash_bucket_stats
+
+    stats = minhash_bucket_stats(d, "doc_id", "text", max_bucket_size=100)
+    capped_buckets = stats.filter(F.col("capped")).collect()
+    assert capped_buckets, "cluster buckets should be flagged capped"
+    assert all(r["size"] >= 120 for r in capped_buckets)
+    pairs, stats2 = dedup_minhash(
+        d, "doc_id", "text", max_bucket_size=100, return_stats=True
+    )
+    assert stats2.filter(F.col("capped")).count() == len(capped_buckets)
+    assert pairs.filter((F.col("a") == n) & (F.col("b") == n + 1)).count() == 1
+
 
 def test_ngram_verify_unchanged_for_surviving_pairs(spark):
     """The df-cap gates candidates only: a surviving pair's Jaccard is

@@ -89,3 +89,46 @@ def test_extract_job_raw_input(tmp_path, spark):
     assert got["a.pdf"][0][1].startswith("Invoice #3")
     assert got["b.html"] == [("text", "raw job body")]
     assert got["c.csv"][0][0] == "table"
+
+
+def test_extract_job_quality_gate_resume(tmp_path, spark):
+    """--quality-gate under checkpoint/resume (VERDICT r3 task 8): a
+    killed gated run resumes correctly, failing documents are dropped
+    from the output, and per-wave reject reasons land in _metrics."""
+    import jobs.extract_job as job
+
+    out = str(tmp_path / "gated-run")
+    argv = [
+        "--synthetic", "60", "--output", out, "--input-token", "tg",
+        "--n-buckets", "6", "--wave-size", "2",
+        "--quality-gate", "--quality-thresholds",
+        '{"min_words": 30, "min_stop_distinct": 0}',
+    ]
+
+    job.main(argv, stop=False)
+    run = CheckpointedRun(out, n_buckets=6, wave_size=2, input_token="tg")
+    assert len(run.done_buckets()) == 6
+
+    # resume: everything committed, nothing re-run, audit intact
+    job.main(argv, stop=False)
+    assert len(run.done_buckets()) == 6
+
+    # gate semantics: output keeps only passing docs; audit records all
+    verdicts = run.read_audit(spark, "quality")
+    n_total = verdicts.count()
+    n_keep = verdicts.filter(F.col("keep")).count()
+    n_out = run.read_output(spark).count()
+    assert n_total == 60
+    assert n_out == n_keep
+    reasons = {
+        r["reject_reason"]
+        for r in verdicts.filter(~F.col("keep")).collect()
+    }
+    if n_keep < n_total:
+        assert reasons and None not in reasons
+    # kept doc_ids match the verdict exactly
+    kept_ids = {r["doc_id"] for r in run.read_output(spark)
+                .select("doc_id").collect()}
+    want_ids = {r["doc_id"] for r in verdicts.filter(F.col("keep"))
+                .select("doc_id").collect()}
+    assert kept_ids == want_ids

@@ -113,9 +113,10 @@ def test_png_decode_roundtrip_all_filters():
 
     rng = np.random.default_rng(11)
     gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    ga = rng.integers(0, 256, size=(5, 6, 2), dtype=np.uint8)
     rgb = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
     rgba = rng.integers(0, 256, size=(3, 8, 4), dtype=np.uint8)
-    for px in (gray, rgb, rgba):
+    for px in (gray, ga, rgb, rgba):
         for ft in range(5):
             got = decode_png_pixels(make_fixture_png(px, filter_type=ft))
             assert got.shape == px.shape, (px.shape, ft)
@@ -237,3 +238,59 @@ def test_bmp_webp_dimensions():
             + b"\x0a\x00\x00\x00" + b"\x2f"
             + vp8l_bits.to_bytes(4, "little") + b"\x00" * 5)
     assert parse_dimensions(vp8l) == (200, 100)
+
+
+def test_tiff_ico_dimensions():
+    """TIFF IFD walking (tags 256/257, SHORT and LONG, both byte
+    orders) and ICO directory entries, incl. the 0-means-256 rule."""
+    import struct as _s
+
+    def tiff(end, fmt_short):
+        e = "<" if end == b"II" else ">"
+        hdr = end + (_s.pack(e + "H", 42)) + _s.pack(e + "I", 8)
+        if fmt_short:  # SHORT values, left-justified in the 4-byte field
+            def val(v):
+                pad = _s.pack(e + "H", 0)
+                sv = _s.pack(e + "H", v)
+                return sv + pad
+            entries = [
+                _s.pack(e + "HHI", 256, 3, 1) + val(321),
+                _s.pack(e + "HHI", 257, 3, 1) + val(123),
+            ]
+        else:
+            entries = [
+                _s.pack(e + "HHI", 256, 4, 1) + _s.pack(e + "I", 70000),
+                _s.pack(e + "HHI", 257, 4, 1) + _s.pack(e + "I", 50000),
+            ]
+        ifd = _s.pack(e + "H", len(entries)) + b"".join(entries) \
+            + _s.pack(e + "I", 0)
+        return hdr + ifd
+
+    little = tiff(b"II", fmt_short=True)
+    assert sniff_format(little) == "tiff"
+    assert parse_dimensions(little) == (321, 123)
+    big = tiff(b"MM", fmt_short=False)
+    assert sniff_format(big) == "tiff"
+    assert parse_dimensions(big) == (70000, 50000)
+
+    ico = b"\x00\x00\x01\x00\x01\x00" + bytes([32, 64]) + b"\x00" * 8
+    assert sniff_format(ico) == "ico"
+    assert parse_dimensions(ico) == (32, 64)
+    ico256 = b"\x00\x00\x01\x00\x01\x00" + bytes([0, 0]) + b"\x00" * 8
+    assert parse_dimensions(ico256) == (256, 256)
+
+
+def test_luminance_gray_alpha():
+    """2-channel gray+alpha luminance is the gray channel — alpha must
+    not bleed into the histogram features (ADVICE r3)."""
+    import numpy as np
+
+    from extractthinker_spark.operators.media import _luminance
+
+    ga = np.zeros((2, 2, 2), dtype=np.uint8)
+    ga[:, :, 0] = 200   # gray
+    ga[:, :, 1] = 255   # alpha
+    assert (_luminance(ga) == 200).all()
+    rgba = np.zeros((1, 1, 4), dtype=np.uint8)
+    rgba[0, 0] = (30, 60, 90, 255)
+    assert _luminance(rgba)[0, 0] == 60

@@ -118,6 +118,8 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "truncate_token_budget",
         "concat_parts",
         "parse_raw_spans",
+        "legacy_doc_spans",
+        "pdf_tree_spans",
         "raw_pipeline_extract",
         "table_detect_cells",
         "media_meta_dims",

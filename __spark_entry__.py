@@ -1150,6 +1150,105 @@ def _gopher_sql(min_words: int = 20) -> str:
     """
 
 
+def _q_pii_scrub(spark, sf):
+    """PII redaction, value-level: deterministic PII (email, intl
+    phone, IPv4, SSN, card) planted from doc_id, scrubbed by the
+    shared PII_PATTERNS chain (Java-regex ∩ RE2 subset, so the oracle
+    replays the same patterns verbatim); per-category counts audited
+    over the original text."""
+    from extractthinker_spark.functions.pii import pii_scrub_frame
+
+    d = _tp(spark, sf, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact bob"), F.col("doc_id").cast("string"),
+        F.lit("@example.com tel +1 555 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 card 4111 1111 1111 1111"),
+    )
+    return pii_scrub_frame(d.select("doc_id", txt.alias("text")))
+
+
+def _pii_sql() -> str:
+    from extractthinker_spark.functions.pii import PII_PATTERNS
+
+    scrub = "txt"
+    for _, pattern, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pattern}', '{token}', 'g')"
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(txt, '{pattern}')) AS BIGINT)"
+        f" AS n_{kind}"
+        for kind, pattern, _ in PII_PATTERNS
+    )
+    any_pii = " OR ".join(
+        f"len(regexp_extract_all(txt, '{pattern}')) > 0"
+        for _, pattern, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH t AS (SELECT doc_id,
+               text || ' contact bob' || doc_id || '@example.com tel +1 555 '
+               || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               || ' ip 10.0.' || (doc_id % 256)
+               || '.7 ssn 123-45-6789 card 4111 1111 1111 1111' AS txt
+             FROM documents)
+        SELECT doc_id,
+               {scrub} AS text_scrubbed,
+               {counts},
+               {any_pii} AS any_pii
+        FROM t
+    """
+
+
+def _q_dedup_lines_corpus(spark, sf):
+    """Corpus-wide duplicate-line scrub (CCNet-style), value-level:
+    every document gets a line shared by ALL docs (always dropped at
+    min_doc_freq=5), a footer shared by ~1/3 of docs (dropped), and
+    two per-doc content lines (kept unless their 30-char prefixes
+    coincide across >=5 docs — the oracle replays the same
+    doc-frequency rule, so accidental collisions agree too)."""
+    from extractthinker_spark.operators.dedup import dedup_lines_corpus
+
+    d = _tp(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    txt = F.concat_ws(
+        "\n",
+        F.substring(norm, 1, 30),
+        F.lit("Subscribe to our newsletter"),
+        F.substring(norm, 31, 30),
+        F.concat(F.lit("footer v"), (F.col("doc_id") % 3).cast("string")),
+    )
+    return dedup_lines_corpus(
+        d.select("doc_id", txt.alias("text")), min_doc_freq=5
+    )
+
+
+_DEDUP_LINES_SQL = r"""
+    WITH t AS (SELECT doc_id, concat_ws(chr(10),
+             substring(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 30),
+             'Subscribe to our newsletter',
+             substring(trim(regexp_replace(text, '\s+', ' ', 'g')), 31, 30),
+             'footer v' || (doc_id % 3)) AS txt
+           FROM documents),
+    l AS (SELECT doc_id,
+            unnest(generate_series(1, len(ls))) AS pos, unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t)),
+    hot AS (SELECT lower(trim(line)) AS nl
+            FROM l WHERE trim(line) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+    j AS (SELECT l.doc_id, l.pos, l.line,
+                 (h.nl IS NOT NULL) AS hot
+          FROM l LEFT JOIN hot h
+            ON trim(l.line) <> '' AND lower(trim(l.line)) = h.nl)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT hot THEN line END,
+                               chr(10) ORDER BY pos), '') AS text_clean,
+           CAST(count(*) FILTER (WHERE NOT hot) AS BIGINT) AS n_lines_kept,
+           CAST(count(*) FILTER (WHERE hot) AS BIGINT) AS n_lines_dropped
+    FROM j GROUP BY doc_id
+"""
+
+
 def _q_table_detect(spark, sf):
     """pdfplumber-'text'-strategy table detection (S6,
     document_loader_pdfplumber.py:138-177): per doc a 3x3 grid of word
@@ -1667,6 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_raw_spans": _q_parse_raw_spans,
         "legacy_doc_spans": _q_legacy_doc_spans,
         "pdf_tree_spans": _q_pdf_tree_spans,
+        "pii_scrub": _q_pii_scrub,
+        "dedup_lines_corpus": _q_dedup_lines_corpus,
         "media_meta_dims": _q_media_meta_dims,
     }
 
@@ -2588,6 +2689,8 @@ def oracle_sql() -> dict[str, str]:
     sql["parse_raw_spans"] = _PARSE_RAW_SQL
     sql["legacy_doc_spans"] = _LEGACY_DOC_SQL
     sql["pdf_tree_spans"] = _PDF_TREE_SQL
+    sql["pii_scrub"] = _pii_sql()
+    sql["dedup_lines_corpus"] = _DEDUP_LINES_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5

@@ -120,6 +120,8 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "parse_raw_spans",
         "legacy_doc_spans",
         "pdf_tree_spans",
+        "pii_scrub",
+        "dedup_lines_corpus",
         "raw_pipeline_extract",
         "table_detect_cells",
         "media_meta_dims",

@@ -651,3 +651,78 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide duplicate-line removal (CCNet-style boilerplate scrub)
+# --------------------------------------------------------------------------
+
+def dedup_lines_corpus(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove lines that repeat ACROSS the corpus (CCNet/RefinedWeb
+    boilerplate scrub: cookie banners, nav bars, footers appear
+    verbatim in thousands of documents — per-document repetition
+    signals cannot see them).
+
+    A line is dropped when its normalized form (trim + lower) appears
+    in >= ``min_doc_freq`` DISTINCT documents; empty/whitespace lines
+    are structural and always kept. Output: (key, text_clean,
+    n_lines_kept, n_lines_dropped), remaining lines in original order.
+
+    Scale shape: posexplode → md5 line hash → ONE groupBy(hash) with
+    approx-exact count_distinct(key) partial aggregation → broadcast-
+    unfriendly but narrow hash join back on the 16-byte digest (never
+    the raw line) → per-doc reassembly groupBy. Two shuffles + one
+    hash join, all on digest-width keys — the minimum for a statistic
+    that is genuinely corpus-global.
+    """
+    lines = df.select(
+        F.col(key).alias("_k"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn(
+        "_h",
+        F.when(
+            F.length(F.trim(F.col("line"))) > 0,
+            F.md5(F.lower(F.trim(F.col("line"))).cast("binary")),
+        ),
+    )
+    hot = (
+        lines.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.count_distinct("_k").alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_h", F.lit(True).alias("_hot"))
+    )
+    marked = lines.join(hot, "_h", "left")
+    return (
+        marked.groupBy("_k")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "pos", "line",
+                        F.coalesce(F.col("_hot"), F.lit(False)).alias("hot"),
+                    )
+                )
+            ).alias("_ls")
+        )
+        .select(
+            F.col("_k").alias(key),
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("_ls"), lambda s: ~s["hot"]),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.size(F.filter(F.col("_ls"), lambda s: ~s["hot"]))
+            .cast("long").alias("n_lines_kept"),
+            F.size(F.filter(F.col("_ls"), lambda s: s["hot"]))
+            .cast("long").alias("n_lines_dropped"),
+        )
+    )

@@ -502,17 +502,58 @@ _PDF_CONTENTS_RE = re.compile(
 )
 
 
+_PDF_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_PDF_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_PDF_N_RE = re.compile(rb"/N\s+(\d+)")
+
+
+def _pdf_expand_objstms(objs: dict[int, bytes]) -> None:
+    """PDF 1.5+ object streams: a /Type /ObjStm stream packs many
+    non-stream objects (catalogs, page dicts) into one FlateDecode
+    payload — header = N (objnum, offset) integer pairs, object bodies
+    start at /First (PDF 32000-1 §7.5.7). Real writers put the whole
+    page TREE in object streams, so tree-order decoding must expand
+    them into the object map first. In-place; malformed streams are
+    skipped."""
+    for body in list(objs.values()):
+        sm = _PDF_STREAM_RE.search(body)
+        if not sm or not _PDF_OBJSTM_RE.search(sm.group(1)):
+            continue
+        nm = _PDF_N_RE.search(sm.group(1))
+        fm = _PDF_FIRST_RE.search(sm.group(1))
+        if not nm or not fm:
+            continue
+        data = _inflate_pdf_stream(sm.group(1), sm.group(2))
+        first = int(fm.group(1))
+        try:
+            header = data[:first].split()
+            pairs = [
+                (int(header[i]), int(header[i + 1]))
+                for i in range(0, 2 * int(nm.group(1)), 2)
+            ]
+        except (ValueError, IndexError):
+            continue
+        for j, (num, off) in enumerate(pairs):
+            end = (
+                first + pairs[j + 1][1] if j + 1 < len(pairs) else len(data)
+            )
+            objs.setdefault(num, data[first + off : end])
+
+
 def _pdf_tree_pages(b: bytes) -> list[str] | None:
     """Page texts ordered by the document's /Catalog → /Pages → /Kids
     tree (the ordering pypdf derives from the trailer,
     document_loader_pypdf.py:104-152) — the STREAM ORDER of objects in
     the file is NOT page order for incrementally-written or
-    tool-reordered PDFs. Returns None when no parseable page tree
-    exists (fixture-subset files), letting the caller fall back to
+    tool-reordered PDFs. Object streams (/ObjStm) are expanded first,
+    so PDF 1.5+ files whose page tree lives in compressed object
+    streams still order correctly. Returns None when no parseable page
+    tree exists (fixture-subset files), letting the caller fall back to
     stream order."""
     objs: dict[int, bytes] = {}
     for m in _PDF_OBJ_RE.finditer(b):
         objs.setdefault(int(m.group(1)), m.group(2))
+    _pdf_expand_objstms(objs)
     root = None
     for body in objs.values():
         if _PDF_CATALOG_RE.search(body):
@@ -1509,12 +1550,15 @@ def make_fixture_pdf_tree(
     compress: bool = False,
     hex_strings: bool = False,
     scramble: bool = True,
+    objstm: bool = False,
 ) -> bytes:
     """Full-structure fixture PDF: /Catalog → /Pages → /Kids tree, one
     /Page + /Contents stream object per page. With ``scramble`` the
     content-stream objects are written in REVERSE file order, so only
     tree-order decoding recovers the page sequence; ``hex_strings``
-    emits ``<hex> Tj`` show operators instead of literal strings."""
+    emits ``<hex> Tj`` show operators instead of literal strings;
+    ``objstm`` packs the catalog/pages/page dicts into one compressed
+    /ObjStm (the PDF 1.5+ layout real writers emit)."""
     nump = len(pages)
     objs: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
     kids = " ".join(f"{3 + i} 0 R" for i in range(nump)).encode("ascii")
@@ -1549,8 +1593,30 @@ def make_fixture_pdf_tree(
     stream_nums = list(range(3 + nump, 3 + 2 * nump))
     if scramble:
         stream_nums.reverse()
+    if objstm:
+        # pack the tree dicts (1, 2, page objects) into one /ObjStm
+        packed = sorted(n for n in objs if n not in stream_nums)
+        offsets, payload = [], b""
+        for n in packed:
+            offsets.append((n, len(payload)))
+            payload += objs[n] + b"\n"
+        header = b" ".join(b"%d %d" % p for p in offsets) + b"\n"
+        data = zlib.compress(header + payload)
+        stm_num = 3 + 2 * nump
+        objs = {
+            stm_num: (
+                b"<< /Type /ObjStm /N %d /First %d /Length %d "
+                b"/Filter /FlateDecode >>\nstream\n"
+                % (len(packed), len(header), len(data))
+                + data + b"\nendstream"
+            ),
+            **{n: objs[n] for n in stream_nums},
+        }
+        order = [stm_num, *stream_nums]
+    else:
+        order = [1, 2, *range(3, 3 + nump), *stream_nums]
     body = b"%PDF-1.4\n"
-    for num in [1, 2, *range(3, 3 + nump), *stream_nums]:
+    for num in order:
         body += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
     return body + b"%%EOF\n"
 

@@ -287,3 +287,62 @@ def test_gopher_filter_gate(spark):
     # repeated lines trip the dup-line rule BEFORE the char-frac rule
     assert got["repeatl"]["reject_reason"] == "dup_lines"
     assert not got["repeatl"]["keep"]
+
+
+def test_pii_scrub_and_counts(spark):
+    """PII redaction goldens: each category scrubs to its token in
+    PII_PATTERNS order; counts audit the original text; conservative
+    phone rule (international + prefix only) leaves bare digit runs."""
+    from extractthinker_spark.functions.pii import pii_scrub_frame
+
+    rows = [
+        ("a", "mail bob.smith+x@corp.example.org now"),
+        ("b", "server at 192.168.1.254 port 80"),
+        ("c", "ssn 123-45-6789 and card 4111 1111 1111 1111"),
+        ("d", "call +44 20 7946-0958 today"),
+        ("e", "invoice 12345 qty 8 total 99.50"),  # no PII
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in pii_scrub_frame(df).collect()}
+    assert got["a"]["text_scrubbed"] == "mail [EMAIL] now"
+    assert got["a"]["n_email"] == 1 and got["a"]["any_pii"]
+    assert got["b"]["text_scrubbed"] == "server at [IP] port 80"
+    assert got["c"]["text_scrubbed"] == "ssn [SSN] and card [CARD]"
+    assert got["c"]["n_ssn"] == 1 and got["c"]["n_card"] == 1
+    assert got["d"]["text_scrubbed"] == "call [PHONE] today"
+    # 99.50 is not an IP, 12345 not a phone: stay untouched
+    assert got["e"]["text_scrubbed"] == rows[4][1]
+    assert not got["e"]["any_pii"]
+
+
+def test_dedup_lines_corpus(spark):
+    """Corpus-wide duplicate-line scrub: lines repeated across >=K
+    docs drop (case/space-insensitive match), order is preserved,
+    whitespace lines are structural, an all-boilerplate doc empties."""
+    from extractthinker_spark.operators.dedup import dedup_lines_corpus
+
+    banner = "Subscribe to our newsletter"
+    rows = [
+        ("a", f"unique alpha\n{banner}\nalpha tail"),
+        ("b", f"unique beta\n{banner.upper()}\n\nbeta tail"),
+        ("c", f"{banner}\nunique gamma"),
+        ("d", banner),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_lines_corpus(df, min_doc_freq=3).collect()
+    }
+    assert got["a"]["text_clean"] == "unique alpha\nalpha tail"
+    assert got["a"]["n_lines_dropped"] == 1
+    # case-insensitive normalized match; empty line kept as structure
+    assert got["b"]["text_clean"] == "unique beta\n\nbeta tail"
+    assert got["c"]["text_clean"] == "unique gamma"
+    assert got["d"]["text_clean"] == ""
+    assert got["d"]["n_lines_kept"] == 0 and got["d"]["n_lines_dropped"] == 1
+    # below the frequency bar nothing drops
+    loose = {
+        r["doc_id"]: r["n_lines_dropped"]
+        for r in dedup_lines_corpus(df, min_doc_freq=5).collect()
+    }
+    assert all(v == 0 for v in loose.values())

@@ -622,3 +622,13 @@ def test_pdf_tree_order_and_hex_strings():
     raw = (b"%PDF-1.4\nBT <48656c6c6f> Tj ET\n"
            b"BT [(mix) <2d6865> (done)] TJ ET\n%%EOF")
     assert decode_pdf_pages(raw) == ["Hello", "mix-hedone"]
+    # PDF 1.5+ object streams: the whole page tree lives inside one
+    # FlateDecode /ObjStm — expansion must happen before tree walk
+    assert decode_pdf_pages(
+        make_fixture_pdf_tree(pages, objstm=True, scramble=True)
+    ) == pages
+    assert decode_pdf_pages(
+        make_fixture_pdf_tree(
+            pages, objstm=True, compress=True, hex_strings=True
+        )
+    ) == pages

@@ -1569,15 +1569,21 @@ def _q_pdf_tree_spans(spark, sf):
     REVERSE file order — only /Catalog → /Pages → /Kids traversal
     recovers page order (pypdf's trailer semantics,
     document_loader_pypdf.py:104-152). Even doc_ids use ``<hex> Tj``
-    show operators, doc_id % 3 == 0 adds FlateDecode compression."""
+    show operators, doc_id % 3 == 0 adds FlateDecode compression, and
+    doc_id % 5 == 0 switches to SUBSET-FONT form: hex strings carry
+    2-byte glyph codes that are garbage without the embedded ToUnicode
+    CMap — the decoder must parse bfchar mappings to recover the
+    by-construction text the oracle replays."""
     from extractthinker_spark.operators.parse_core import strip_page_header
     from extractthinker_spark.operators.rawbytes import (
         make_fixture_pdf_tree,
         parse_raw_bytes,
     )
 
-    base = _raw_two_page_base(spark, sf).withColumn(
-        "z", F.col("doc_id").cast("long") % 3 == 0
+    base = (
+        _raw_two_page_base(spark, sf)
+        .withColumn("z", F.col("doc_id").cast("long") % 3 == 0)
+        .withColumn("sub", F.col("doc_id").cast("long") % 5 == 0)
     )
 
     def build(batches):
@@ -1585,10 +1591,10 @@ def _q_pdf_tree_spans(spark, sf):
             pdf = pdf.assign(raw=[
                 make_fixture_pdf_tree(
                     [l1, l2], hex_strings=bool(u), compress=bool(z),
-                    scramble=True,
+                    scramble=True, subset_font=bool(sb),
                 )
-                for l1, l2, u, z in zip(
-                    pdf["l1"], pdf["l2"], pdf["flag"], pdf["z"]
+                for l1, l2, u, z, sb in zip(
+                    pdf["l1"], pdf["l2"], pdf["flag"], pdf["z"], pdf["sub"]
                 )
             ])
             yield pdf[["doc_id", "raw"]]

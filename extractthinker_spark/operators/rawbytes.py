@@ -433,39 +433,149 @@ def _pdf_unescape(s: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _pdf_hex_string(h: bytes) -> str:
+# ToUnicode CMap sections (PDF 32000-1 §9.10.3 / Adobe CMap spec):
+# subset-font PDFs show GLYPH CODES in their strings; without the
+# bfchar/bfrange mapping the text decodes to garbage — the single
+# biggest real-input fidelity gap (r3 Missing #1).
+_CMAP_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_CMAP_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CMAP_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_CMAP_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.DOTALL,
+)
+_CMAP_DST_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be_hex(dst: bytes) -> str:
+    try:
+        raw = bytes.fromhex(dst.decode("ascii"))
+        if len(raw) % 2:
+            raw += b"\0"
+        return raw.decode("utf-16-be", "replace")
+    except ValueError:
+        return ""
+
+
+def _parse_cmap(content: bytes) -> tuple[int, dict[int, str]] | None:
+    """(code byte-width, {glyph code -> unicode str}) from a ToUnicode
+    CMap stream's bfchar/bfrange sections. None when no mappings."""
+    width = None
+    mapping: dict[int, str] = {}
+
+    def note_width(src_hex: bytes) -> None:
+        nonlocal width
+        w = max(1, len(src_hex) // 2)
+        if width is None or w > width:
+            width = w
+
+    for sec in _CMAP_BFCHAR_RE.findall(content):
+        for src, dst in _CMAP_PAIR_RE.findall(sec):
+            note_width(src)
+            mapping.setdefault(int(src, 16), _utf16be_hex(dst))
+    for sec in _CMAP_BFRANGE_RE.findall(content):
+        for m in _CMAP_RANGE_RE.finditer(sec):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                continue
+            note_width(m.group(1))
+            if m.group(3) is not None:  # <dstStart>: consecutive
+                start = _utf16be_hex(m.group(3))
+                if len(start) == 1:
+                    base = ord(start)
+                    for c in range(lo, hi + 1):
+                        mapping.setdefault(c, chr(base + (c - lo)))
+                elif start:
+                    # multi-char dst: spec increments the LAST code unit
+                    head, last = start[:-1], ord(start[-1])
+                    for c in range(lo, hi + 1):
+                        mapping.setdefault(c, head + chr(last + (c - lo)))
+            else:  # [<d1> <d2> ...]: explicit per-code targets
+                dsts = _CMAP_DST_RE.findall(m.group(4))
+                for c, dst in zip(range(lo, hi + 1), dsts):
+                    mapping.setdefault(c, _utf16be_hex(dst))
+    if not mapping or width is None:
+        return None
+    return width, mapping
+
+
+def _pdf_collect_cmap(b: bytes) -> tuple[int, dict[int, str]] | None:
+    """Merged ToUnicode mapping across the document's CMap streams.
+    Without per-font /Resources tracking (out of the subset's scope)
+    the union is applied to every hex string — correct for the
+    overwhelmingly common one-subset-font tool output, and unmapped
+    single-byte codes still fall back to Latin-1."""
+    width = None
+    merged: dict[int, str] = {}
+    for m in _PDF_STREAM_RE.finditer(b):
+        content = m.group(2)
+        if b"bfchar" not in content and b"bfrange" not in content:
+            content = _inflate_pdf_stream(m.group(1), m.group(2))
+            if b"bfchar" not in content and b"bfrange" not in content:
+                continue
+        parsed = _parse_cmap(content)
+        if parsed is None:
+            continue
+        w, mapping = parsed
+        width = w if width is None else max(width, w)
+        for k, v in mapping.items():
+            merged.setdefault(k, v)
+    if not merged or width is None:
+        return None
+    return width, merged
+
+
+def _pdf_hex_string(
+    h: bytes, cmap: tuple[int, dict[int, str]] | None = None
+) -> str:
     """Hex-string payload → text: whitespace dropped, odd final digit
-    zero-padded (PDF 32000-1 §7.3.4.3), byte codes read as Latin-1
-    (single-byte simple-font codes; CMap-remapped multi-byte codes
-    are the documented out-of-scope long tail)."""
+    zero-padded (PDF 32000-1 §7.3.4.3). With a ToUnicode ``cmap`` the
+    bytes are read as glyph codes of the mapped width; otherwise (and
+    for unmapped single-byte codes) as Latin-1."""
     digits = b"".join(h.split())
     if len(digits) % 2:
         digits += b"0"
     if not digits:
         return ""
     try:
-        return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+        raw = bytes.fromhex(digits.decode("ascii"))
     except ValueError:
         return ""
+    if cmap is None:
+        return raw.decode("latin-1")
+    width, mapping = cmap
+    out = []
+    for i in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        mapped = mapping.get(code)
+        if mapped is None:
+            mapped = chr(code) if width == 1 else "�"
+        out.append(mapped)
+    return "".join(out)
 
 
-def _pdf_block_text(block: bytes) -> str:
+def _pdf_block_text(
+    block: bytes, cmap: tuple[int, dict[int, str]] | None = None
+) -> str:
     """Shown text of one ``BT..ET`` block: ``Tj`` / ``TJ`` operators in
     stream order; ``Tj`` strings one per line, ``TJ`` array strings
     concatenated (kerning numbers dropped — pypdf's extract_text
-    convention for adjacent array elements). Literal AND hex strings."""
+    convention for adjacent array elements). Literal AND hex strings;
+    hex strings go through the document's ToUnicode ``cmap`` when one
+    exists (subset-font glyph codes)."""
     parts = []
     for m in _PDF_SHOW_RE.finditer(block):
         if m.group(1) is not None:  # (s) Tj
             parts.append(_pdf_unescape(m.group(1)))
         elif m.group(2) is not None:  # <hex> Tj
-            parts.append(_pdf_hex_string(m.group(2)))
+            parts.append(_pdf_hex_string(m.group(2), cmap))
         else:  # [ ... ] TJ
             parts.append(
                 "".join(
                     _pdf_unescape(sm.group(1))
                     if sm.group(1) is not None
-                    else _pdf_hex_string(sm.group(2))
+                    else _pdf_hex_string(sm.group(2), cmap)
                     for sm in _PDF_STR_RE.finditer(m.group(3))
                 )
             )
@@ -582,6 +692,7 @@ def _pdf_tree_pages(b: bytes) -> list[str] | None:
     walk(root)
     if not page_nums:
         return None
+    cmap = _pdf_collect_cmap(b)
     pages = []
     for pnum in page_nums:
         cm = _PDF_CONTENTS_RE.search(objs[pnum])
@@ -595,7 +706,7 @@ def _pdf_tree_pages(b: bytes) -> list[str] | None:
             "\n".join(
                 t
                 for blk in _PDF_BLOCK_RE.findall(content)
-                if (t := _pdf_block_text(blk))
+                if (t := _pdf_block_text(blk, cmap))
             )
         )
     return pages
@@ -622,11 +733,12 @@ def decode_pdf_pages(b: bytes) -> list[str]:
     tree = _pdf_tree_pages(b)
     if tree is not None:
         return tree
+    cmap = _pdf_collect_cmap(b)
     pages = []
 
     def raw_segment(seg: bytes) -> None:
         for block in _PDF_BLOCK_RE.findall(seg):
-            text = _pdf_block_text(block)
+            text = _pdf_block_text(block, cmap)
             if text:
                 pages.append(text)
 
@@ -637,7 +749,7 @@ def decode_pdf_pages(b: bytes) -> list[str]:
         text = "\n".join(
             t
             for blk in _PDF_BLOCK_RE.findall(content)
-            if (t := _pdf_block_text(blk))
+            if (t := _pdf_block_text(blk, cmap))
         )
         if text:
             pages.append(text)
@@ -1157,14 +1269,18 @@ def decode_doc_pages(b: bytes) -> list[str]:
 _PPT_TEXT_CHARS = 0x0FA0   # TextCharsAtom: UTF-16LE
 _PPT_TEXT_BYTES = 0x0FA8   # TextBytesAtom: cp1252
 _PPT_SLIDE_PERSIST = 0x03F3  # SlidePersistAtom: slide boundary
+_PPT_SLIDE_CONTAINER = 0x03EE  # Slide container: per-slide records
 
 
 def decode_ppt_pages(b: bytes) -> list[str]:
     """Slide texts from a legacy .ppt: CFB → 'PowerPoint Document'
     stream → record walk (8-byte headers, [MS-PPT] §2.3) collecting
-    TextCharsAtom/TextBytesAtom payloads, new slide at each
-    SlidePersistAtom (the SlideListWithText layout real writers
-    emit)."""
+    TextCharsAtom/TextBytesAtom payloads. New slide at each
+    SlidePersistAtom (the SlideListWithText outline layout) AND at
+    each Slide container (per-slide drawing text) — both real-writer
+    layouts paginate; a file carrying the same text in both places
+    would duplicate it (minimal-parser caveat, same as strings-level
+    tools)."""
     data = cfb_streams(b).get("PowerPoint Document")
     if not data:
         return []
@@ -1178,6 +1294,8 @@ def decode_ppt_pages(b: bytes) -> list[str]:
             rlen = int.from_bytes(buf[i + 4 : i + 8], "little")
             body = buf[i + 8 : i + 8 + rlen]
             if ver == 0x0F:  # container record
+                if rtype == _PPT_SLIDE_CONTAINER:
+                    pages.append([])
                 walk(body, depth + 1)
             elif rtype == _PPT_SLIDE_PERSIST:
                 pages.append([])
@@ -1192,9 +1310,8 @@ def decode_ppt_pages(b: bytes) -> list[str]:
 
 
 def _xls_string(body: bytes, pos: int) -> tuple[str, int]:
-    """One XLUnicodeRichExtendedString ([MS-XLS] §2.5.293) without
-    continuation-record support — SSTs that span CONTINUE records
-    raise and the caller degrades to the marker span."""
+    """One XLUnicodeRichExtendedString ([MS-XLS] §2.5.293) contained in
+    a single record (the Label-cell case)."""
     import struct
 
     cch = struct.unpack_from("<H", body, pos)[0]
@@ -1216,6 +1333,68 @@ def _xls_string(body: bytes, pos: int) -> tuple[str, int]:
     return s, pos + 4 * c_run + phon
 
 
+def _xls_sst_strings(segments: list[bytes], total: int) -> list[str]:
+    """SST shared strings across the SST record and its CONTINUE
+    records ([MS-XLS] §2.4.265 + §2.1.4): strings split only at
+    character boundaries; a split inside the CHARACTER ARRAY re-emits
+    a fresh grbit byte at the continuation start (the encoding may
+    switch mid-string), while splits inside rgRun/ExtRst payloads do
+    not. Malformed input raises; the caller treats the SST as
+    best-effort (missing indices simply drop their cells)."""
+    import struct
+
+    si, pos = 0, 0
+    out: list[str] = []
+
+    def remaining() -> int:
+        return len(segments[si]) - pos
+
+    for _ in range(total):
+        while si < len(segments) and remaining() == 0:
+            si += 1
+            pos = 0
+        if si >= len(segments):
+            break
+        cch = struct.unpack_from("<H", segments[si], pos)[0]
+        flags = segments[si][pos + 2]
+        pos += 3
+        c_run = phon = 0
+        if flags & 0x08:
+            c_run = struct.unpack_from("<H", segments[si], pos)[0]
+            pos += 2
+        if flags & 0x04:
+            phon = struct.unpack_from("<i", segments[si], pos)[0]
+            pos += 4
+        high = flags & 0x01
+        left, parts = cch, []
+        while left:
+            if remaining() == 0:
+                si += 1
+                pos = 0
+                high = segments[si][0] & 0x01  # re-emitted grbit
+                pos = 1
+            unit = 2 if high else 1
+            take = min(left, remaining() // unit)
+            if take == 0:
+                raise ValueError("SST char split off unit boundary")
+            data = segments[si][pos : pos + take * unit]
+            pos += take * unit
+            parts.append(
+                data.decode("utf-16-le" if high else "latin-1", "replace")
+            )
+            left -= take
+        out.append("".join(parts))
+        skip = 4 * c_run + phon
+        while skip > 0:  # rgRun/ExtRst may straddle, no grbit re-emit
+            if remaining() == 0:
+                si += 1
+                pos = 0
+            t = min(skip, remaining())
+            pos += t
+            skip -= t
+    return out
+
+
 def decode_xls_sheets(b: bytes) -> list[tuple[str, str]]:
     """Sheet text grids from a legacy .xls: CFB → Workbook stream →
     BIFF8 record walk ([MS-XLS] §2.1.4): BoundSheet8 names, SST shared
@@ -1228,16 +1407,18 @@ def decode_xls_sheets(b: bytes) -> list[tuple[str, str]]:
     wb = streams.get("Workbook") or streams.get("Book")
     if not wb:
         return []
+    records: list[tuple[int, bytes]] = []
+    i = 0
+    while i + 4 <= len(wb):
+        rtype, rlen = struct.unpack_from("<HH", wb, i)
+        records.append((rtype, wb[i + 4 : i + 4 + rlen]))
+        i += 4 + rlen
     names: list[str] = []
     sst: list[str] = []
     # cells[sheet_idx][row][col] = text
     cells: list[dict[int, dict[int, str]]] = []
     substream = -1  # 0 = workbook globals, 1.. = sheet substreams
-    i = 0
-    while i + 4 <= len(wb):
-        rtype, rlen = struct.unpack_from("<HH", wb, i)
-        body = wb[i + 4 : i + 4 + rlen]
-        i += 4 + rlen
+    for j, (rtype, body) in enumerate(records):
         if rtype == 0x0809:  # BOF
             substream += 1
             if substream >= 1:
@@ -1249,14 +1430,17 @@ def decode_xls_sheets(b: bytes) -> list[tuple[str, str]]:
             names.append(
                 raw.decode("utf-16-le" if hi else "latin-1", "replace")
             )
-        elif rtype == 0x00FC:  # SST
+        elif rtype == 0x00FC:  # SST (+ trailing CONTINUE records)
             total = struct.unpack_from("<I", body, 4)[0]
-            pos = 8
-            for _ in range(total):
-                if pos >= len(body):
-                    break  # remainder lives in CONTINUE records
-                s, pos = _xls_string(body, pos)
-                sst.append(s)
+            segments = [body[8:]]
+            for rt2, b2 in records[j + 1 :]:
+                if rt2 != 0x003C:  # Continue
+                    break
+                segments.append(b2)
+            try:
+                sst = _xls_sst_strings(segments, total)
+            except (ValueError, IndexError, struct.error):
+                sst = []  # best-effort: unmatched cells drop
         elif rtype == 0x00FD and substream >= 1:  # LabelSst
             row, col = struct.unpack_from("<HH", body, 0)
             idx = struct.unpack_from("<I", body, 6)[0]
@@ -1551,6 +1735,7 @@ def make_fixture_pdf_tree(
     hex_strings: bool = False,
     scramble: bool = True,
     objstm: bool = False,
+    subset_font: bool = False,
 ) -> bytes:
     """Full-structure fixture PDF: /Catalog → /Pages → /Kids tree, one
     /Page + /Contents stream object per page. With ``scramble`` the
@@ -1558,8 +1743,15 @@ def make_fixture_pdf_tree(
     tree-order decoding recovers the page sequence; ``hex_strings``
     emits ``<hex> Tj`` show operators instead of literal strings;
     ``objstm`` packs the catalog/pages/page dicts into one compressed
-    /ObjStm (the PDF 1.5+ layout real writers emit)."""
+    /ObjStm (the PDF 1.5+ layout real writers emit); ``subset_font``
+    emits hex strings of 2-byte GLYPH CODES plus the ToUnicode CMap
+    mapping them back — the subset-embedded-font shape whose text is
+    garbage without CMap decoding."""
     nump = len(pages)
+    code_of: dict[str, int] = {}
+    if subset_font:
+        chars = sorted({c for p in pages for c in p if c != "\n"})
+        code_of = {c: i + 1 for i, c in enumerate(chars)}
     objs: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
     kids = " ".join(f"{3 + i} 0 R" for i in range(nump)).encode("ascii")
     objs[2] = (
@@ -1570,7 +1762,12 @@ def make_fixture_pdf_tree(
             b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>"
             % (3 + nump + i)
         )
-        if hex_strings:
+        if subset_font:
+            shows = "\n".join(
+                "<" + "".join("%04x" % code_of[c] for c in line) + "> Tj"
+                for line in text.split("\n")
+            )
+        elif hex_strings:
             shows = "\n".join(
                 "<" + line.encode("latin-1").hex() + "> Tj"
                 for line in text.split("\n")
@@ -1593,16 +1790,37 @@ def make_fixture_pdf_tree(
     stream_nums = list(range(3 + nump, 3 + 2 * nump))
     if scramble:
         stream_nums.reverse()
+    extra_streams = []
+    if subset_font:
+        cm_num = 3 + 2 * nump
+        pairs = "\n".join(
+            f"<{code:04X}> <{c.encode('utf-16-be').hex().upper()}>"
+            for c, code in code_of.items()
+        ).encode("ascii")
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"%d beginbfchar\n" % len(code_of)
+            + pairs + b"\nendbfchar\nendcmap\nend"
+        )
+        objs[cm_num] = (
+            b"<< /Length %d >>\nstream\n" % len(cmap)
+            + cmap + b"\nendstream"
+        )
+        extra_streams.append(cm_num)
     if objstm:
-        # pack the tree dicts (1, 2, page objects) into one /ObjStm
-        packed = sorted(n for n in objs if n not in stream_nums)
+        # pack the tree dicts (1, 2, page objects) into one /ObjStm;
+        # stream objects (contents, CMap) stay top-level
+        packed = sorted(
+            n for n in objs
+            if n not in stream_nums and n not in extra_streams
+        )
         offsets, payload = [], b""
         for n in packed:
             offsets.append((n, len(payload)))
             payload += objs[n] + b"\n"
         header = b" ".join(b"%d %d" % p for p in offsets) + b"\n"
         data = zlib.compress(header + payload)
-        stm_num = 3 + 2 * nump
+        stm_num = 4 + 2 * nump if subset_font else 3 + 2 * nump
         objs = {
             stm_num: (
                 b"<< /Type /ObjStm /N %d /First %d /Length %d "
@@ -1610,11 +1828,11 @@ def make_fixture_pdf_tree(
                 % (len(packed), len(header), len(data))
                 + data + b"\nendstream"
             ),
-            **{n: objs[n] for n in stream_nums},
+            **{n: objs[n] for n in stream_nums + extra_streams},
         }
-        order = [stm_num, *stream_nums]
+        order = [stm_num, *extra_streams, *stream_nums]
     else:
-        order = [1, 2, *range(3, 3 + nump), *stream_nums]
+        order = [1, 2, *range(3, 3 + nump), *extra_streams, *stream_nums]
     body = b"%PDF-1.4\n"
     for num in order:
         body += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
@@ -1759,32 +1977,52 @@ def make_fixture_doc(pages: list[str], unicode: bool = False) -> bytes:
     return make_fixture_cfb({"WordDocument": bytes(wd), "1Table": clx})
 
 
-def make_fixture_ppt(pages: list[str], unicode: bool = False) -> bytes:
+def make_fixture_ppt(
+    pages: list[str],
+    unicode: bool = False,
+    slide_containers: bool = False,
+) -> bytes:
     """Deterministic legacy .ppt: 'PowerPoint Document' stream holding
-    a SlideListWithText-shaped container — SlidePersistAtom before
-    each slide's TextBytesAtom/TextCharsAtom records."""
+    either a SlideListWithText-shaped container (SlidePersistAtom
+    before each slide's text atoms — the outline layout) or, with
+    ``slide_containers``, one top-level Slide container per page (the
+    per-slide drawing layout)."""
     import struct
 
     def rec(rtype: int, body: bytes, container: bool = False) -> bytes:
         ver = 0x000F if container else 0x0000
         return struct.pack("<HHI", ver, rtype, len(body)) + body
 
-    inner = b""
-    for page in pages:
-        inner += rec(_PPT_SLIDE_PERSIST, b"\0" * 20)
+    def text_atom(page: str) -> bytes:
         if unicode:
-            inner += rec(_PPT_TEXT_CHARS, page.encode("utf-16-le"))
-        else:
-            inner += rec(_PPT_TEXT_BYTES, page.encode("cp1252", "replace"))
-    doc = rec(0x0FF0, inner, container=True)   # SlideListWithText
-    stream = rec(0x03E8, doc, container=True)  # Document container
+            return rec(_PPT_TEXT_CHARS, page.encode("utf-16-le"))
+        return rec(_PPT_TEXT_BYTES, page.encode("cp1252", "replace"))
+
+    if slide_containers:
+        stream = b"".join(
+            rec(_PPT_SLIDE_CONTAINER, text_atom(p), container=True)
+            for p in pages
+        )
+    else:
+        inner = b""
+        for page in pages:
+            inner += rec(_PPT_SLIDE_PERSIST, b"\0" * 20)
+            inner += text_atom(page)
+        doc = rec(0x0FF0, inner, container=True)   # SlideListWithText
+        stream = rec(0x03E8, doc, container=True)  # Document container
     return make_fixture_cfb({"PowerPoint Document": stream})
 
 
-def make_fixture_xls(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
+def make_fixture_xls(
+    sheets: list[tuple[str, list[list[str]]]],
+    continue_split: bool = False,
+) -> bytes:
     """Deterministic legacy .xls: Workbook stream with a globals
     substream (BoundSheet8 names + SST) and one substream per sheet
-    (BOF + LabelSst cells)."""
+    (BOF + LabelSst cells). ``continue_split`` splits the SST's
+    character data mid-string into a CONTINUE record with a re-emitted
+    grbit byte — the layout any real workbook with >8 KB of strings
+    has."""
     import struct
 
     def rec(rtype: int, body: bytes) -> bytes:
@@ -1796,10 +2034,15 @@ def make_fixture_xls(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
         for row in rows:
             strings.extend(row)
     sst_body = struct.pack("<II", len(strings), len(strings))
-    for s in strings:
+    split_at = None
+    for k, s in enumerate(strings):
         sst_body += struct.pack("<HB", len(s), 0x01) + s.encode(
             "utf-16-le"
         )
+        if continue_split and k == 0 and len(strings) > 1:
+            nxt = strings[1]
+            # split after the 2nd string's header + one UTF-16 char
+            split_at = len(sst_body) + 3 + 2 * min(1, len(nxt))
     globals_sub = bof
     for name, _ in sheets:
         globals_sub += rec(
@@ -1808,7 +2051,14 @@ def make_fixture_xls(sheets: list[tuple[str, list[list[str]]]]) -> bytes:
             + bytes([len(name), 0x01])
             + name.encode("utf-16-le"),
         )
-    globals_sub += rec(0x00FC, sst_body) + rec(0x000A, b"")
+    if split_at is not None:
+        # finish building remaining strings first (sst_body holds all)
+        head, tail = sst_body[:split_at], sst_body[split_at:]
+        globals_sub += rec(0x00FC, head)
+        globals_sub += rec(0x003C, b"\x01" + tail)  # grbit re-emit
+    else:
+        globals_sub += rec(0x00FC, sst_body)
+    globals_sub += rec(0x000A, b"")
     idx = 0
     body = globals_sub
     for _, rows in sheets:

@@ -552,6 +552,42 @@ def test_legacy_office_golden_decode():
     ]
 
 
+def test_xls_sst_continue_and_ppt_slide_containers():
+    """Real-file layouts: SST character data straddling a CONTINUE
+    record (with re-emitted grbit, including an encoding switch), and
+    per-slide Slide containers instead of SlideListWithText."""
+    from extractthinker_spark.operators.rawbytes import (
+        _xls_sst_strings,
+        decode_ppt_pages,
+        decode_xls_sheets,
+        make_fixture_ppt,
+        make_fixture_xls,
+    )
+
+    sheets = [("S1", [["alpha", "beta gamma"], ["delta", "eps"]]),
+              ("S2", [["zeta"]])]
+    want = decode_xls_sheets(make_fixture_xls(sheets))
+    assert decode_xls_sheets(
+        make_fixture_xls(sheets, continue_split=True)
+    ) == want
+
+    # encoding switch at the boundary: 'ab' as UTF-16 in the SST
+    # record, remaining 'cd' as compressed ANSI in the CONTINUE
+    import struct as _s
+
+    seg1 = _s.pack("<HB", 4, 0x01) + "ab".encode("utf-16-le")
+    seg2 = b"\x00" + b"cd"  # grbit 0 -> latin-1 for the rest
+    assert _xls_sst_strings([seg1, seg2], 1) == ["abcd"]
+
+    pages = ["Slide One", "Slide Two deux", "Three"]
+    assert decode_ppt_pages(
+        make_fixture_ppt(pages, slide_containers=True)
+    ) == pages
+    assert decode_ppt_pages(
+        make_fixture_ppt(pages, unicode=True, slide_containers=True)
+    ) == pages
+
+
 def test_legacy_office_spans_and_corrupt_guard(spark):
     """parse_raw_bytes: legacy Office bytes decode to spans (including
     a CFB whose directory sits past the sniff window — refined by
@@ -632,3 +668,37 @@ def test_pdf_tree_order_and_hex_strings():
             pages, objstm=True, compress=True, hex_strings=True
         )
     ) == pages
+
+
+def test_pdf_subset_font_cmap():
+    """Subset-embedded-font PDFs: hex strings are GLYPH CODES, only the
+    ToUnicode CMap (bfchar/bfrange) recovers real text — the dominant
+    tool-generated-PDF shape (r3 Missing #1 long tail)."""
+    from extractthinker_spark.operators.rawbytes import (
+        _parse_cmap,
+        make_fixture_pdf_tree,
+    )
+
+    pages = ["Héllo Wörld one", "page TWO text", "drei §3"]
+    for kw in (
+        {},
+        {"compress": True},
+        {"objstm": True},
+        {"objstm": True, "compress": True},
+    ):
+        got = decode_pdf_pages(
+            make_fixture_pdf_tree(
+                pages, scramble=True, subset_font=True, **kw
+            )
+        )
+        assert got == pages, (kw, got)
+    # bfrange consecutive + array forms, multi-section
+    w, m = _parse_cmap(
+        b"2 beginbfchar\n<0001> <0041>\n<0002> <00E9>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0013> <0061>\n"
+        b"<0020> <0022> [<0058> <0059> <005A>]\nendbfrange"
+    )
+    assert w == 2
+    assert m[1] == "A" and m[2] == "é"
+    assert [m[c] for c in range(0x10, 0x14)] == ["a", "b", "c", "d"]
+    assert [m[c] for c in range(0x20, 0x23)] == ["X", "Y", "Z"]

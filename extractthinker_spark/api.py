@@ -245,6 +245,31 @@ class Process:
             self._documents = self._require_docs().join(keep_ids, "doc_id")
         return self
 
+    def scrub_pii(self, kinds: list[str] | None = None) -> Process:
+        """Redact PII (functions/pii.py patterns) in-place across every
+        text-bearing span of this process's documents — span structure,
+        kinds, media refs and offsets are untouched. Run AFTER
+        load/load_raw and before extraction/classification so no stage
+        downstream ever sees raw identifiers."""
+        from extractthinker_spark.functions.pii import scrub_pii as _scrub
+
+        docs = self._require_docs()
+        self._documents = docs.select(
+            "doc_id",
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.when(
+                        s["text"].isNotNull(), _scrub(s["text"], kinds)
+                    ).alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+        return self
+
     # -- split --------------------------------------------------------------
 
     def split(self, strategy: SplitStrategy = SplitStrategy.LAZY) -> Process:

@@ -52,18 +52,45 @@ def stream_extract(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    quality_gate: bool = False,
+    quality_thresholds: dict | None = None,
 ) -> StreamingQuery:
     """Run the extraction pipeline on a stream via foreachBatch.
 
     foreachBatch (rather than a direct writeStream.parquet) so the sink
     can be swapped for ``df.writeTo(iceberg_table).append()`` on a real
     cluster, and so per-batch lineage metrics ride along.
+
+    ``quality_gate`` applies the Gopher filter per micro-batch (the
+    streaming twin of ``extract_job --quality-gate``): failing docs are
+    dropped from the sink and the full verdict lands under
+    ``<output>/_quality/_batch_id=N`` — the underscore prefix keeps it
+    invisible to parquet reads of the output dir, and the same
+    dynamic-partition overwrite makes replays idempotent.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_main_content(batch_df, nest=True).withColumn(
-            "_batch_id", F.lit(batch_id)
-        )
+        out = extract_main_content(batch_df, nest=True)
+        if quality_gate:
+            from extractthinker_spark.functions.textstats import gopher_filter
+            from extractthinker_spark.plans.pipeline import doc_text
+
+            verdict = gopher_filter(
+                doc_text(out).select(
+                    "doc_id", F.col("content").alias("text")
+                ),
+                thresholds=quality_thresholds,
+            ).withColumn("_batch_id", F.lit(batch_id))
+            (
+                verdict.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{output_dir}/_quality")
+            )
+            out = out.join(
+                verdict.filter(F.col("keep")).select("doc_id"), "doc_id"
+            )
+        out = out.withColumn("_batch_id", F.lit(batch_id))
         # idempotent on replay: dynamic partition overwrite replaces
         # ONLY this batch's partition, never appends it twice
         (
@@ -135,13 +162,17 @@ def run_raw_stream_once(
     output_dir: str,
     checkpoint_dir: str,
     path_glob: str | None = None,
+    quality_gate: bool = False,
+    quality_thresholds: dict | None = None,
 ) -> None:
     """Drain a raw-file landing zone through sniff → decode → extract
-    with the idempotent per-batch-id sink."""
+    (optionally Gopher-gated) with the idempotent per-batch-id sink."""
     q = stream_extract(
         stream_raw_documents(spark, input_dir, path_glob),
         output_dir,
         checkpoint_dir,
         available_now=True,
+        quality_gate=quality_gate,
+        quality_thresholds=quality_thresholds,
     )
     q.awaitTermination()

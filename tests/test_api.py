@@ -282,3 +282,32 @@ def test_process_filter_quality(spark):
     }
     assert report["g"] == (True, None)
     assert report["tiny"] == (False, "too_few_words")
+
+
+def test_process_scrub_pii(spark):
+    """Process.scrub_pii redacts text-bearing spans in place; span
+    structure, kinds, refs, offsets survive untouched."""
+    from extractthinker_spark.api import Process
+
+    rows = [
+        ("d", [
+            {"kind": "text", "text": "mail a@b.co now", "media_ref": None,
+             "offset": 0},
+            {"kind": "media", "text": None, "media_ref": "bytes:png",
+             "offset": 1},
+            {"kind": "pdf_text", "text": "ssn 123-45-6789", "media_ref": None,
+             "offset": 2},
+        ]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    p = Process().load(docs).scrub_pii()
+    sp = p._require_docs().collect()[0]["spans"]
+    assert [s["kind"] for s in sp] == ["text", "media", "pdf_text"]
+    assert sp[0]["text"] == "mail [EMAIL] now"
+    assert sp[1]["text"] is None and sp[1]["media_ref"] == "bytes:png"
+    assert sp[2]["text"] == "ssn [SSN]"
+    assert [s["offset"] for s in sp] == [0, 1, 2]

@@ -117,3 +117,47 @@ def test_raw_file_stream_equals_batch(spark, tmp_path):
         spark.read.parquet(out_dir).select("doc_id", "spans")
     )
     assert again == streamed
+
+
+def test_stream_quality_gate(spark, tmp_path):
+    """Streaming twin of extract_job --quality-gate: failing docs are
+    dropped from the sink, verdicts land under <output>/_quality (an
+    underscore dir invisible to parquet reads of the output), and the
+    gated stream equals the gated batch result."""
+    import pyspark.sql.functions as F
+
+    from extractthinker_spark.corpus import corpus_spark
+    from extractthinker_spark.functions.textstats import gopher_filter
+    from extractthinker_spark.plans.pipeline import doc_text, extract_main_content
+    from extractthinker_spark.streaming.ingest import (
+        stream_documents,
+        stream_extract,
+    )
+
+    docs = corpus_spark(spark, 40)
+    land = str(tmp_path / "land")
+    docs.write.parquet(land)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    th = {"min_words": 30, "min_stop_distinct": 0}
+    q = stream_extract(
+        stream_documents(spark, land), out, ckpt,
+        available_now=True, quality_gate=True, quality_thresholds=th,
+    )
+    q.awaitTermination()
+
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    batch = extract_main_content(docs, nest=True)
+    verdict = gopher_filter(
+        doc_text(batch).select("doc_id", F.col("content").alias("text")),
+        thresholds=th,
+    )
+    want_ids = {
+        r["doc_id"] for r in verdict.filter(F.col("keep")).collect()
+    }
+    assert got_ids == want_ids and 0 < len(got_ids) < 40
+    audit = spark.read.parquet(f"{out}/_quality")
+    assert audit.count() == 40
+    assert audit.filter(~F.col("keep")).count() == 40 - len(want_ids)

@@ -1249,6 +1249,159 @@ _DEDUP_LINES_SQL = r"""
 """
 
 
+def _q_warc_extract(spark, sf):
+    """Common Crawl-shaped ingest, value-level: documents are packed
+    25-to-a-WARC (per-record gzip members, HTTP response wrapping —
+    the CC layout) by a grouped Arrow stage, then the REAL WARC walk
+    (operators/warc.py) + HTTP strip + sniff must recover every
+    record as an html span. The oracle replays the by-construction
+    html string per doc."""
+    import pandas as pd_
+
+    from extractthinker_spark.operators.warc import (
+        make_fixture_warc,
+        warc_to_documents,
+    )
+
+    d = _tp(spark, sf, "documents")
+    body = F.regexp_replace(
+        F.substring(
+            F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), 1, 60
+        ),
+        r"[<>&]", "",
+    )
+    base = d.select(
+        (F.col("doc_id") % 25).alias("grp"),
+        F.col("doc_id").cast("string").alias("did"),
+        body.alias("body"),
+    )
+
+    def build(pdf):
+        pdf = pdf.sort_values("did")
+        recs = [
+            (
+                f"https://ex.com/{did}.html",
+                "text/html",
+                f"<html><body><p>{b}</p></body></html>".encode("utf-8"),
+            )
+            for did, b in zip(pdf["did"], pdf["body"])
+        ]
+        return pd_.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "raw": [make_fixture_warc(recs, gzip_members=True)],
+            }
+        )
+
+    files = base.groupBy("grp").applyInPandas(build, "grp long, raw binary")
+    docs = warc_to_documents(
+        files.select(F.col("grp").cast("string").alias("doc_id"), "raw")
+    )
+    return docs.select(
+        F.regexp_extract("doc_id", r"/(\d+)\.html$", 1)
+        .cast("long").alias("doc_id"),
+        "format",
+        F.col("spans")[0]["kind"].alias("kind"),
+        F.col("spans")[0]["text"].alias("content"),
+    )
+
+
+_WARC_SQL = r"""
+    SELECT doc_id, 'html' AS format, 'html' AS kind,
+           '<html><body><p>' ||
+           regexp_replace(substring(
+               trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 60),
+               '[<>&]', '', 'g')
+           || '</p></body></html>' AS content
+    FROM documents
+"""
+
+
+def _q_url_normalize(spark, sf):
+    """URL normalization + host extraction, value-level: three URL
+    shapes per doc_id (mixed-case host with default port + utm params
+    + fragment; utm-only query that must lose its '?'; already-clean)
+    normalized by the shared rule set; the oracle replays each step
+    (split/filter/rejoin for params — iterated-regex-free in both
+    engines)."""
+    from extractthinker_spark.functions.urls import normalize_url, url_host
+
+    d = _tp(spark, sf, "documents")
+    k = F.col("doc_id")
+    url = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("HTTP://Ex"), (k % 7).cast("string"),
+                F.lit(".Example.COM:80/Path"), k.cast("string"),
+                F.lit("/?utm_source=x&q="), (k % 5).cast("string"),
+                F.lit("&utm_campaign=y#frag"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("https://Site.example:443/a"), k.cast("string"),
+                F.lit("?utm_only=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://keep.example/b"), k.cast("string"),
+                F.lit("?x=1&y=2"),
+            )
+        )
+    )
+    base = d.select("doc_id", url.alias("url"))
+    return base.select(
+        "doc_id", "url",
+        normalize_url(F.col("url")).alias("norm_url"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
+_URL_NORM_SQL = r"""
+    WITH t AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN
+            'HTTP://Ex' || (doc_id % 7) || '.Example.COM:80/Path' ||
+            doc_id || '/?utm_source=x&q=' || (doc_id % 5) ||
+            '&utm_campaign=y#frag'
+        WHEN doc_id % 3 = 1 THEN
+            'https://Site.example:443/a' || doc_id || '?utm_only=1'
+        ELSE 'https://keep.example/b' || doc_id || '?x=1&y=2'
+        END AS url FROM documents),
+    s AS (SELECT doc_id, url,
+          regexp_replace(url, '#.*$', '') AS u FROM t),
+    p AS (SELECT doc_id, url,
+          regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1)
+            AS pre,
+          regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', '')
+            AS rest FROM s),
+    q AS (SELECT doc_id, url,
+          regexp_replace(regexp_replace(lower(pre),
+              '^(http://[^/?#]*):80$', '\1'),
+              '^(https://[^/?#]*):443$', '\1') || rest AS u2,
+          regexp_replace(regexp_replace(regexp_replace(lower(pre),
+              '^[a-z][a-z0-9+.\-]*://', ''), '^[^@]*@', ''),
+              ':[0-9]+$', '') AS host
+          FROM p),
+    f AS (SELECT doc_id, url, host,
+          regexp_replace(u2, '\?.*$', '') AS base,
+          list_filter(string_split(
+              CASE WHEN contains(u2, '?')
+                   THEN regexp_replace(u2, '^[^?]*\?', '') ELSE '' END,
+              '&'),
+              x -> NOT starts_with(x, 'utm_') AND len(x) > 0) AS kept
+          FROM q)
+    SELECT doc_id, url,
+           CASE WHEN len(kept) > 0
+                THEN base || '?' || array_to_string(kept, '&')
+                ELSE base END AS norm_url,
+           host
+    FROM f
+"""
+
+
 def _q_table_detect(spark, sf):
     """pdfplumber-'text'-strategy table detection (S6,
     document_loader_pdfplumber.py:138-177): per doc a 3x3 grid of word
@@ -1774,6 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_tree_spans": _q_pdf_tree_spans,
         "pii_scrub": _q_pii_scrub,
         "dedup_lines_corpus": _q_dedup_lines_corpus,
+        "warc_extract": _q_warc_extract,
+        "url_normalize": _q_url_normalize,
         "media_meta_dims": _q_media_meta_dims,
     }
 
@@ -2697,6 +2852,8 @@ def oracle_sql() -> dict[str, str]:
     sql["pdf_tree_spans"] = _PDF_TREE_SQL
     sql["pii_scrub"] = _pii_sql()
     sql["dedup_lines_corpus"] = _DEDUP_LINES_SQL
+    sql["warc_extract"] = _WARC_SQL
+    sql["url_normalize"] = _URL_NORM_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5

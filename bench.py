@@ -122,6 +122,8 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "pdf_tree_spans",
         "pii_scrub",
         "dedup_lines_corpus",
+        "warc_extract",
+        "url_normalize",
         "raw_pipeline_extract",
         "table_detect_cells",
         "media_meta_dims",

@@ -1,0 +1,66 @@
+"""URL normalization expressions — crawl-curation primitives (host
+filtering, URL-level dedup) as pure Catalyst, every step with an exact
+ANSI-SQL twin.
+
+Normalization set (documented, deliberately conservative):
+  * fragment stripped (``#...``),
+  * scheme + authority lowercased (path/query case is significant),
+  * default ports dropped (``:80`` for http, ``:443`` for https),
+  * ``utm_*`` tracking parameters removed via split/filter/rejoin
+    (array ops, NOT iterated regex — adjacent params make single-pass
+    regex replacement wrong in both Spark and RE2),
+  * an emptied query string loses its ``?``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# scheme://authority — group 1; the rest of the URL follows it
+_PREFIX_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (authority sans port/userinfo)."""
+    auth = F.regexp_extract(url, _PREFIX_RE, 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(auth), r"^[a-z][a-z0-9+.\-]*://", ""),
+        r"^[^@]*@", "",
+    )
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def normalize_url(url: Column) -> Column:
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    prefix = F.regexp_extract(u, _PREFIX_RE, 1)
+    rest = F.regexp_replace(u, _PREFIX_RE, "")
+    low = F.lower(prefix)
+    low = F.regexp_replace(low, r"^(http://[^/?#]*):80$", "$1")
+    low = F.regexp_replace(low, r"^(https://[^/?#]*):443$", "$1")
+    u = F.concat(low, rest)
+    # utm params: split the query, filter, rejoin (exact, single pass)
+    base = F.regexp_replace(u, r"\?.*$", "")
+    query = F.when(
+        u.contains("?"), F.regexp_replace(u, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.startswith("utm_") & (F.length(p) > 0),
+    )
+    return F.when(
+        F.size(kept) > 0,
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)
+
+
+def dedup_by_url(
+    df: DataFrame, key: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """One row (smallest key) per normalized URL — crawl-frontier
+    dedup. Aggregates on the normalized string; at corpus scale swap
+    in md5 of it for a narrower shuffle key if URLs run long."""
+    norm = df.select(
+        F.col(key).alias("_k"), normalize_url(F.col(url_col)).alias("nurl")
+    )
+    return norm.groupBy("nurl").agg(F.min("_k").alias(key)).select(key, "nurl")

@@ -1,0 +1,248 @@
+"""WARC ingest — the Common Crawl road into the span pipeline.
+
+Web-scale training corpora arrive as WARC files (ISO 28500: crawl
+archives of `response` records wrapping HTTP responses). The reference
+has no crawl-archive source (its nearest entry is per-URL fetch,
+document_loader.py:263-301); at 10^12-document scale the input is
+WARC, so this source is first-class here:
+
+    warc files (binary, optionally per-record gzip members)
+      → explode_warc:  one row per response record
+           (doc_id = target URI, raw = HTTP payload bytes)
+      → operators.rawbytes.parse_raw_bytes: sniff + decode to spans
+      → the rest of the pipeline unchanged.
+
+Everything is dependency-free: WARC header blocks are CRLF key:value
+lines with an exact Content-Length, `.warc.gz` files are standard
+multi-member gzip streams (one member per record — the layout Common
+Crawl ships), and HTTP response payloads strip their status+header
+block, un-chunking Transfer-Encoding: chunked bodies.
+
+Scale shape: explode_warc is one Arrow mapInPandas over the file
+bytes — embarrassingly parallel per WARC file, no shuffle; a WARC is
+~1 GB so rows stay executor-sized. Pair with
+``spark.read.format('binaryFile')`` partitioning for the scan.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F  # noqa: F401  (parity with sibling modules)
+from pyspark.sql import DataFrame
+
+
+def gunzip_members(b: bytes) -> bytes:
+    """Concatenated-member gzip decode (RFC 1952 multi-member — the
+    .warc.gz layout: each record its own member). Plain input passes
+    through; a truncated trailing member yields what decoded."""
+    if b[:2] != b"\x1f\x8b":
+        return b
+    out = []
+    while b:
+        d = zlib.decompressobj(15 + 32)
+        try:
+            out.append(d.decompress(b))
+        except zlib.error:
+            break
+        out.append(d.flush())
+        if not d.unused_data:
+            break
+        b = d.unused_data
+        if b[:2] != b"\x1f\x8b":
+            break
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1")
+            )
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Transfer-Encoding: chunked → raw bytes (RFC 9112 §7.1)."""
+    out, i = [], 0
+    while i < len(body):
+        nl = body.find(b"\r\n", i)
+        if nl < 0:
+            break
+        try:
+            size = int(body[i:nl].split(b";")[0], 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out.append(body[nl + 2 : nl + 2 + size])
+        i = nl + 2 + size + 2  # chunk + its trailing CRLF
+    return b"".join(out)
+
+
+def _http_payload(payload: bytes) -> tuple[str, bytes]:
+    """(content-type, body) from an HTTP response payload: status line
+    + headers stripped, chunked bodies un-chunked, gzip
+    Content-Encoding transparently inflated. Non-HTTP payloads (e.g.
+    resource records) pass through untouched."""
+    if not payload.startswith(b"HTTP/"):
+        return "", payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return "", payload
+    headers = _parse_headers(payload[:sep])
+    body = payload[sep + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    if headers.get("content-encoding", "").lower() in ("gzip", "x-gzip"):
+        try:
+            body = zlib.decompress(body, 15 + 32)
+        except zlib.error:
+            pass  # mislabeled encoding: keep raw bytes
+    return headers.get("content-type", ""), body
+
+
+def parse_warc_records(
+    b: bytes, keep_types: tuple[str, ...] = ("response",)
+) -> list[tuple[str, str, bytes]]:
+    """[(target_uri, content_type, body_bytes)] from one WARC file
+    (ISO 28500 §4: ``WARC/1.x`` version line, CRLF header block,
+    Content-Length payload, CRLF CRLF separator). Gzip members are
+    inflated first. Records whose WARC-Type is not in ``keep_types``
+    (request, metadata, warcinfo, ...) are skipped; malformed records
+    end the walk (best-effort — one truncated tail must not discard
+    the file)."""
+    data = gunzip_members(b)
+    out: list[tuple[str, str, bytes]] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        if not data[i:].startswith(b"WARC/"):
+            nxt = data.find(b"WARC/", i)
+            if nxt < 0:
+                break
+            i = nxt
+        sep = data.find(b"\r\n\r\n", i)
+        if sep < 0:
+            break
+        headers = _parse_headers(data[i:sep])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        payload = data[sep + 4 : sep + 4 + length]
+        i = sep + 4 + length + 4  # payload + CRLF CRLF record separator
+        if headers.get("warc-type", "") not in keep_types:
+            continue
+        uri = headers.get("warc-target-uri", "").strip("<>")
+        ctype, body = _http_payload(payload)
+        out.append((uri, ctype, body))
+    return out
+
+
+def explode_warc(
+    df: DataFrame,
+    raw_col: str = "raw",
+    key: str = "doc_id",
+    keep_types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """warc_files(key, raw) → one row per response record:
+    (warc_file = the source key, record_no, doc_id = target URI,
+    content_type, raw = body bytes). Pipe into
+    ``parse_raw_bytes(out, uri_col='doc_id')`` for spans — the URI's
+    extension doubles as the dispatch hint. Corrupt files degrade to
+    zero records (guarded per row)."""
+    schema = (
+        "warc_file string, record_no int, doc_id string, "
+        "content_type string, raw binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k, b in zip(pdf[key].astype(str), pdf[raw_col]):
+                if b is None:
+                    continue
+                try:
+                    recs = parse_warc_records(bytes(b), keep_types)
+                except Exception:  # noqa: BLE001 — poison-pill guard
+                    recs = []
+                for j, (uri, ctype, body) in enumerate(recs):
+                    rows.append((k, j, uri, ctype, body))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "record_no", "doc_id",
+                    "content_type", "raw",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def warc_to_documents(
+    df: DataFrame, raw_col: str = "raw", key: str = "doc_id"
+) -> DataFrame:
+    """WARC files → documents(doc_id, spans): explode response records,
+    then the standard sniff+decode road (URI extension as hint). The
+    Common Crawl entry point."""
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    recs = explode_warc(df, raw_col=raw_col, key=key)
+    return parse_raw_bytes(
+        recs.select(
+            F.col("doc_id"), F.col("doc_id").alias("source_uri"), "raw"
+        ),
+        uri_col="source_uri",
+    ).select("doc_id", "format", "spans")
+
+
+def make_fixture_warc(
+    records: list[tuple[str, str, bytes]],
+    gzip_members: bool = False,
+    chunked: bool = False,
+) -> bytes:
+    """Deterministic WARC/1.0 fixture: one response record per
+    (uri, content_type, body); ``gzip_members`` wraps each record in
+    its own gzip member (the Common Crawl layout), ``chunked`` encodes
+    bodies with Transfer-Encoding: chunked."""
+    out = []
+    for uri, ctype, body in records:
+        if chunked:
+            http_body = (
+                b"%x\r\n" % len(body) + body + b"\r\n0\r\n\r\n"
+            )
+            te = b"Transfer-Encoding: chunked\r\n"
+        else:
+            http_body = body
+            te = b""
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + ctype.encode("latin-1")
+            + b"\r\n" + te + b"\r\n" + http_body
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode("latin-1") + b"\r\n"
+            b"WARC-Record-ID: <urn:uuid:fixture>\r\n"
+            b"Content-Type: application/http;msgtype=response\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(http)
+            + http + b"\r\n\r\n"
+        )
+        if gzip_members:
+            c = zlib.compressobj(6, zlib.DEFLATED, 15 + 16)
+            rec = c.compress(rec) + c.flush()
+        out.append(rec)
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    if gzip_members:
+        c = zlib.compressobj(6, zlib.DEFLATED, 15 + 16)
+        warcinfo = c.compress(warcinfo) + c.flush()
+    return warcinfo + b"".join(out)

@@ -346,3 +346,40 @@ def test_dedup_lines_corpus(spark):
         for r in dedup_lines_corpus(df, min_doc_freq=5).collect()
     }
     assert all(v == 0 for v in loose.values())
+
+
+def test_url_normalize_and_dedup(spark):
+    """URL normalization rule set goldens + URL-level dedup."""
+    from extractthinker_spark.functions.urls import (
+        dedup_by_url,
+        normalize_url,
+        url_host,
+    )
+
+    rows = [
+        ("a", "HTTP://User@Ex.COM:80/Path/X?utm_source=t&q=1&utm_c=2#frag"),
+        ("b", "https://site.example:443/a?utm_only=1"),
+        ("c", "https://keep.example/b?x=1&y=2"),
+        ("d", "http://ex.com/Path/X?q=1"),          # dup of a post-norm
+        ("e", "https://ex.com:8443/keepport"),       # non-default port kept
+        ("f", "no-scheme/relative?utm_x=1&k=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, url string")
+    got = {
+        r["doc_id"]: (r["n"], r["h"])
+        for r in df.select(
+            "doc_id",
+            normalize_url(F.col("url")).alias("n"),
+            url_host(F.col("url")).alias("h"),
+        ).collect()
+    }
+    assert got["a"] == ("http://user@ex.com/Path/X?q=1", "ex.com")
+    assert got["b"] == ("https://site.example/a", "site.example")
+    assert got["c"] == ("https://keep.example/b?x=1&y=2", "keep.example")
+    assert got["e"] == ("https://ex.com:8443/keepport", "ex.com")
+    # schemeless: authority rules don't apply, params still filter
+    assert got["f"] == ("no-scheme/relative?k=2", "")
+
+    dd = {r["nurl"]: r["doc_id"] for r in dedup_by_url(df).collect()}
+    assert dd["http://user@ex.com/Path/X?q=1"] == "a"
+    assert dd["http://ex.com/Path/X?q=1"] == "d"

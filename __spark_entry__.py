@@ -1402,6 +1402,49 @@ _URL_NORM_SQL = r"""
 """
 
 
+def _q_dedup_components(spark, sf):
+    """Near-dup cluster resolution, value-level: a planted pair graph
+    (stars of width 4 + chains of diameter 4, from doc_id arithmetic)
+    through the REAL iterative min-label-propagation connected
+    components, then the canonical keep-list. The oracle computes the
+    same components with a recursive-CTE transitive closure — the
+    iterative Spark algorithm must converge to the exact fixpoint."""
+    from extractthinker_spark.operators.dedup import dedup_near_canonical
+
+    d = _tp(spark, sf, "documents").select("doc_id")
+    k, m = F.col("doc_id"), F.col("doc_id") % 20
+    e1 = d.filter((m >= 1) & (m <= 4)).select(
+        (k - m).alias("a"), k.alias("b")
+    )
+    e2 = d.filter((m >= 6) & (m <= 9)).select(
+        (k - 1).alias("a"), k.alias("b")
+    )
+    return dedup_near_canonical(d, e1.union(e2))
+
+
+_DEDUP_COMPONENTS_SQL = """
+    WITH RECURSIVE
+    e0 AS (
+        SELECT doc_id - (doc_id % 20) AS a, doc_id AS b
+        FROM documents WHERE doc_id % 20 BETWEEN 1 AND 4
+        UNION ALL
+        SELECT doc_id - 1 AS a, doc_id AS b
+        FROM documents WHERE doc_id % 20 BETWEEN 6 AND 9),
+    edges AS (SELECT a AS u, b AS v FROM e0
+              UNION SELECT b AS u, a AS v FROM e0),
+    reach AS (
+        SELECT u AS node, u AS r FROM edges
+        UNION
+        SELECT e.u AS node, reach.r AS r
+        FROM edges e JOIN reach ON e.v = reach.node),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.comp, d.doc_id) AS canonical,
+           coalesce(c.comp, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
 def _q_table_detect(spark, sf):
     """pdfplumber-'text'-strategy table detection (S6,
     document_loader_pdfplumber.py:138-177): per doc a 3x3 grid of word
@@ -1929,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_corpus": _q_dedup_lines_corpus,
         "warc_extract": _q_warc_extract,
         "url_normalize": _q_url_normalize,
+        "dedup_components": _q_dedup_components,
         "media_meta_dims": _q_media_meta_dims,
     }
 
@@ -2854,6 +2898,7 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_lines_corpus"] = _DEDUP_LINES_SQL
     sql["warc_extract"] = _WARC_SQL
     sql["url_normalize"] = _URL_NORM_SQL
+    sql["dedup_components"] = _DEDUP_COMPONENTS_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5

@@ -124,6 +124,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "dedup_lines_corpus",
         "warc_extract",
         "url_normalize",
+        "dedup_components",
         "raw_pipeline_extract",
         "table_detect_cells",
         "media_meta_dims",

@@ -726,3 +726,102 @@ def dedup_lines_corpus(
             .cast("long").alias("n_lines_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster resolution: connected components over candidate pairs
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """(node, comp) — connected components of the near-dup pair graph,
+    comp = the smallest node id reachable from ``node``. The step
+    every dedup pipeline needs between pair generation (MinHash/
+    SimHash/cosine) and the keep-list: near-duplicates are EQUIVALENCE
+    CLASSES, and pairs alone over-keep (a~b, b~c but a!~c by pair).
+
+    Min-label propagation: each round every node takes the min comp
+    across its neighborhood (one join + one map-side-combinable min
+    per round), stopping when a round changes nothing — rounds needed
+    = graph diameter, and near-dup clusters are shallow (stars/short
+    chains), so 3-4 rounds is typical. ``max_iters`` bounds
+    adversarial chains; the convergence check is one count per round
+    on the labels table (node-sized, never edge-sized). Labels are
+    localCheckpoint'ed each round — iterative plans DOUBLE per round
+    otherwise and Catalyst re-optimizes the whole history (the
+    classic iterative-algorithm trap).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    )
+    edges = (
+        edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("comp").alias("vcomp")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("ncomp"))
+            .select(F.col("u").alias("node"), "ncomp")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.select(F.col("node"), F.col("comp").alias("nc"))
+            .join(labels, "node")
+            .filter(F.col("nc") != F.col("comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_near_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Keep-list after near-dup clustering: every document mapped to
+    its cluster's canonical (smallest-key) representative —
+    (key, canonical, is_canonical). Documents in no pair are their own
+    canonical (left join; no rows lost)."""
+    comps = connected_components(pairs, a_col, b_col)
+    return df.select(F.col(key).alias(key)).join(
+        comps.select(F.col("node").alias(key), "comp"), key, "left"
+    ).select(
+        key,
+        F.coalesce(F.col("comp"), F.col(key)).alias("canonical"),
+        (F.coalesce(F.col("comp"), F.col(key)) == F.col(key))
+        .alias("is_canonical"),
+    )

@@ -154,3 +154,34 @@ def test_cap_posting_df_boundary(spark):
     assert {r["term"] for r in kept.collect()} == {"cold"}
     kept5 = cap_posting_df(posting, "term", max_doc_freq=5)
     assert kept5.count() == 7
+
+
+def test_connected_components_and_canonical(spark):
+    """Cluster resolution over near-dup pairs: stars, a diameter-4
+    chain, and untouched singletons; canonical = smallest member."""
+    from extractthinker_spark.operators.dedup import (
+        connected_components,
+        dedup_near_canonical,
+    )
+
+    pairs = spark.createDataFrame(
+        # star {1,2,3} + chain 10-11-12-13-14 (pairwise only adjacent)
+        [(1, 2), (1, 3), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "a int, b int",
+    )
+    comps = {
+        r["node"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                     13: 10, 14: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 13, 14, 99]], "doc_id int"
+    )
+    canon = {
+        r["doc_id"]: (r["canonical"], r["is_canonical"])
+        for r in dedup_near_canonical(docs, pairs).collect()
+    }
+    assert canon[1] == (1, True) and canon[3] == (1, False)
+    assert canon[14] == (10, False) and canon[10] == (10, True)
+    assert canon[99] == (99, True)  # singleton: its own canonical

@@ -245,6 +245,23 @@ class Process:
             self._documents = self._require_docs().join(keep_ids, "doc_id")
         return self
 
+    def filter_language(self, keep: list[str]) -> Process:
+        """Language gate (stopword-vote lang_id over EXTRACTED main
+        text, same stripped-content rule as filter_quality): keep only
+        documents whose detected language is in ``keep``. The verdict
+        (doc_id, lang, keep) is stashed as ``self.language_report``."""
+        from extractthinker_spark.functions.textstats import lang_id
+
+        merged = doc_text(self.extract_content(nest=True))
+        verdict = merged.select(
+            "doc_id",
+            lang_id(F.col("content")).alias("lang"),
+        ).withColumn("keep", F.col("lang").isin(*keep))
+        self.language_report = verdict
+        keep_ids = verdict.filter(F.col("keep")).select("doc_id")
+        self._documents = self._require_docs().join(keep_ids, "doc_id")
+        return self
+
     def scrub_pii(self, kinds: list[str] | None = None) -> Process:
         """Redact PII (functions/pii.py patterns) in-place across every
         text-bearing span of this process's documents — span structure,

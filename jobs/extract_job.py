@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
                      help="directory of RAW FILES (any sniffable format): "
                           "binaryFile scan -> sniff/decode -> spans, with "
                           "the filename extension as dispatch hint")
+    src.add_argument("--warc-input",
+                     help="directory of WARC crawl archives (.warc / "
+                          ".warc.gz): response records explode to one "
+                          "document per URI, then sniff/decode -> spans")
     src.add_argument("--synthetic", type=int, help="generate N synthetic docs instead")
     ap.add_argument("--output", required=True, help="run directory (data+manifests+metrics)")
     ap.add_argument("--input-token", default="", help="input snapshot identity for resume")
@@ -88,6 +92,21 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
         documents = parse_raw_bytes(raw, uri_col="source_uri").select(
             "doc_id", "spans"
         )
+    elif args.warc_input:
+        import pyspark.sql.functions as F
+
+        from extractthinker_spark.operators.warc import warc_to_documents
+
+        warcs = (
+            spark.read.format("binaryFile")
+            .load(args.warc_input)
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1)
+                .alias("doc_id"),
+                F.col("content").alias("raw"),
+            )
+        )
+        documents = warc_to_documents(warcs).select("doc_id", "spans")
     else:
         from extractthinker_spark.corpus import corpus_spark
 

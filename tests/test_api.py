@@ -311,3 +311,32 @@ def test_process_scrub_pii(spark):
     assert sp[1]["text"] is None and sp[1]["media_ref"] == "bytes:png"
     assert sp[2]["text"] == "ssn [SSN]"
     assert [s["offset"] for s in sp] == [0, 1, 2]
+
+
+def test_process_filter_language(spark):
+    """Process.filter_language keeps only matching languages and
+    stashes the verdict."""
+    from extractthinker_spark.api import Process
+
+    rows = [
+        ("en1", [{"kind": "text",
+                  "text": "the cat and the dog of it is to be for on",
+                  "media_ref": None, "offset": 0}]),
+        ("de1", [{"kind": "text",
+                  "text": "der hund und die katze ist das der und die",
+                  "media_ref": None, "offset": 0}]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    p = Process().load(docs).filter_language(keep=["en"])
+    kept = {r["doc_id"] for r in p._require_docs().collect()}
+    assert kept == {"en1"}
+    report = {
+        r["doc_id"]: (r["lang"], r["keep"])
+        for r in p.language_report.collect()
+    }
+    assert report["en1"] == ("en", True)
+    assert report["de1"] == ("de", False)

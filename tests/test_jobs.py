@@ -132,3 +132,32 @@ def test_extract_job_quality_gate_resume(tmp_path, spark):
     want_ids = {r["doc_id"] for r in verdicts.filter(F.col("keep"))
                 .select("doc_id").collect()}
     assert kept_ids == want_ids
+
+
+def test_extract_job_warc_input(tmp_path, spark):
+    """--warc-input: crawl archives through the checkpointed run —
+    response records become per-URI documents with extracted spans."""
+    import jobs.extract_job as job
+    from extractthinker_spark.operators.warc import make_fixture_warc
+
+    land = tmp_path / "warcland"
+    land.mkdir()
+    recs = [
+        ("https://a.example/p.html", "text/html",
+         b"<html><body><p>warc page body</p></body></html>"),
+        ("https://b.example/t.txt", "text/plain", b"warc text body"),
+    ]
+    (land / "crawl-00000.warc.gz").write_bytes(
+        make_fixture_warc(recs, gzip_members=True)
+    )
+    out = str(tmp_path / "warc-run")
+    job.main([
+        "--warc-input", str(land), "--output", out, "--input-token", "w0",
+        "--n-buckets", "2", "--wave-size", "2",
+    ], stop=False)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"]) for s in r["spans"]]
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    assert got["https://a.example/p.html"] == [("text", "warc page body")]
+    assert got["https://b.example/t.txt"] == [("text", "warc text body")]

@@ -117,20 +117,32 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
         if args.quality_thresholds else None
     )
 
-    def gate_verdict(df):
-        """Gopher verdict over the wave's STRIPPED content (the
-        curation rule: boilerplate must not count toward
-        repetition/stopword signals) — zero-shuffle Arrow pass."""
-        import pyspark.sql.functions as F
+    # Per-wave memo: CheckpointedRun passes the SAME wave_in object to
+    # transform() and audit(), so keying on object identity lets the
+    # gated path extract and judge each wave ONCE (localCheckpoint
+    # materializes the shared stage; without it the output plan, the
+    # keep-filter, and the audit would each recompute extraction —
+    # ~3x the wave's dominant cost).
+    _wave_memo: dict[int, tuple] = {}
 
-        from extractthinker_spark.functions.textstats import gopher_filter
-        from extractthinker_spark.plans.pipeline import doc_text
+    def _extracted_and_verdict(df, salted):
+        key = id(df)
+        if key not in _wave_memo:
+            import pyspark.sql.functions as F
 
-        merged = doc_text(extract_main_content(df, nest=True))
-        return gopher_filter(
-            merged.select("doc_id", F.col("content").alias("text")),
-            thresholds=gate_thresholds,
-        )
+            from extractthinker_spark.functions.textstats import gopher_filter
+            from extractthinker_spark.plans.pipeline import doc_text
+
+            ext = extract_main_content(salted, nest=True).localCheckpoint()
+            verdict = gopher_filter(
+                doc_text(ext).select(
+                    "doc_id", F.col("content").alias("text")
+                ),
+                thresholds=gate_thresholds,
+            ).localCheckpoint()
+            _wave_memo.clear()  # keep exactly one wave's checkpoints
+            _wave_memo[key] = (ext, verdict)
+        return _wave_memo[key]
 
     def transform(df):
         # The flagship pipeline is span-granular after explode, so skew
@@ -138,20 +150,23 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
         # scale/skew.py, applies to doc-granular Arrow stages like the
         # eager splitter — not needed here: the re-nest collect must
         # see the whole document anyway).
-        if args.salt_partitions:
-            df = salt_repartition(df, args.salt_partitions)
-        out = extract_main_content(df, nest=True)
-        if args.quality_gate:
-            import pyspark.sql.functions as F
+        salted = (
+            salt_repartition(df, args.salt_partitions)
+            if args.salt_partitions else df
+        )
+        if not args.quality_gate:
+            return extract_main_content(salted, nest=True)
+        import pyspark.sql.functions as F
 
-            keep = gate_verdict(df).filter(F.col("keep")).select("doc_id")
-            out = out.join(keep, "doc_id")
-        return out
+        ext, verdict = _extracted_and_verdict(df, salted)
+        keep = verdict.filter(F.col("keep")).select("doc_id")
+        return ext.join(keep, "doc_id")
 
     audit = None
     if args.quality_gate:
         def audit(df):
-            return gate_verdict(df).select(
+            _, verdict = _extracted_and_verdict(df, df)
+            return verdict.select(
                 "doc_id", "keep", "reject_reason", "n_words",
             )
 

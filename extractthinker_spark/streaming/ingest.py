@@ -75,6 +75,10 @@ def stream_extract(
             from extractthinker_spark.functions.textstats import gopher_filter
             from extractthinker_spark.plans.pipeline import doc_text
 
+            # materialize once: the verdict write, the keep join and
+            # the data write would otherwise each re-extract the batch
+            out = out.localCheckpoint()
+
             verdict = gopher_filter(
                 doc_text(out).select(
                     "doc_id", F.col("content").alias("text")

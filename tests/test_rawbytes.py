@@ -702,3 +702,54 @@ def test_pdf_subset_font_cmap():
     assert m[1] == "A" and m[2] == "é"
     assert [m[c] for c in range(0x10, 0x14)] == ["a", "b", "c", "d"]
     assert [m[c] for c in range(0x20, 0x23)] == ["X", "Y", "Z"]
+
+
+def test_corrupt_fuzz_never_fails_task(spark):
+    """Poison-pill fuzz: every fixture format, truncated at arbitrary
+    points AND byte-mutated, through parse_raw_bytes in one job — the
+    per-row guard must keep the task alive; every row lands with SOME
+    format tag (possibly corrupt:*) and a well-typed spans array."""
+    import random
+
+    from extractthinker_spark.operators.rawbytes import (
+        make_fixture_cfb,
+        make_fixture_doc,
+        make_fixture_pdf_tree,
+        make_fixture_ppt,
+        make_fixture_xls,
+    )
+    from extractthinker_spark.operators.warc import make_fixture_warc
+
+    rng = random.Random(1234)
+    bases = [
+        make_fixture_pdf(["page one text", "two"], compress=True),
+        make_fixture_pdf_tree(["a", "b"], objstm=True, subset_font=True),
+        make_fixture_docx(["docx page"]),
+        make_fixture_doc(["doc page"]),
+        make_fixture_ppt(["slide"]),
+        make_fixture_xls([("S", [["x"]])]),
+        make_fixture_cfb({"Whatever": b"abc" * 50}),
+        make_fixture_warc(
+            [("https://x/y.html", "text/html", b"<html>hi</html>")],
+            gzip_members=True,
+        ),
+        b"\x1f\x8b" + bytes(30),
+        b"PK\x03\x04" + b"word/document.xml" + bytes(60),
+    ]
+    rows = []
+    i = 0
+    for b in bases:
+        for cut in (7, len(b) // 3, len(b) - 3):
+            rows.append((f"t{i}", b[:max(1, cut)]))
+            i += 1
+        mut = bytearray(b)
+        for j in rng.sample(range(len(mut)), min(60, len(mut))):
+            mut[j] = rng.randrange(256)
+        rows.append((f"m{i}", bytes(mut)))
+        i += 1
+    df = spark.createDataFrame(rows, "doc_id string, raw binary")
+    out = parse_raw_bytes(df).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert isinstance(r["format"], str) and r["format"]
+        assert r["spans"] is not None

@@ -161,3 +161,58 @@ def test_stream_quality_gate(spark, tmp_path):
     audit = spark.read.parquet(f"{out}/_quality")
     assert audit.count() == 40
     assert audit.filter(~F.col("keep")).count() == 40 - len(want_ids)
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Watermarked session_window streaming aggregation drains to the
+    same sessions the identical batch plan computes (append mode emits
+    only watermark-finalized sessions; availableNow + a far-future
+    flush event finalizes everything)."""
+    from datetime import datetime
+
+    from extractthinker_spark.streaming.sessions import sessionize_stream
+
+    rows = [
+        ("u1", datetime(2026, 1, 1, 10, 0, 0)),
+        ("u1", datetime(2026, 1, 1, 10, 10, 0)),   # same session (gap 30m)
+        ("u1", datetime(2026, 1, 1, 12, 0, 0)),    # new session
+        ("u2", datetime(2026, 1, 1, 10, 5, 0)),
+        # far-future watermark flush marker: its own session
+        ("zz", datetime(2026, 1, 2, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    land = str(tmp_path / "sess-land")
+    df.write.parquet(land)
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in sessionize_stream(spark.read.parquet(land)).collect()
+    }
+    assert len(batch) == 4
+    k_u1 = [k for k in batch if k[0] == "u1"]
+    assert sorted(batch[k] for k in k_u1) == [1, 2]
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .parquet(land)
+    )
+    out_dir = str(tmp_path / "sess-out")
+    q = (
+        sessionize_stream(stream, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sess-ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # every session closed before the watermark (all but the flush
+    # marker's own) must match the batch result exactly
+    finalized = {k: v for k, v in batch.items() if k[0] != "zz"}
+    for k, v in finalized.items():
+        assert got.get(k) == v, (k, v, got)

@@ -383,3 +383,16 @@ def test_url_normalize_and_dedup(spark):
     dd = {r["nurl"]: r["doc_id"] for r in dedup_by_url(df).collect()}
     assert dd["http://user@ex.com/Path/X?q=1"] == "a"
     assert dd["http://ex.com/Path/X?q=1"] == "d"
+
+
+def test_driver_contract_key_sync():
+    """Every queries() entry has an oracle_sql() twin and vice versa —
+    the driver's correctness gate never silently downgrades a query to
+    rows-only because a key drifted."""
+    import __spark_entry__ as mod
+
+    qs, sql = mod.queries(), mod.oracle_sql()
+    assert set(qs) == set(sql), (
+        sorted(set(qs) ^ set(sql)),
+    )
+    assert len(qs) >= 55

@@ -1541,7 +1541,8 @@ def _q_raw_pipeline(spark, sf):
     pdf_plain = F.encode(
         F.concat(
             F.lit("%PDF-1.4\nBT\n(Invoice #"), inv,
-            F.lit(") Tj\n(Date: 3/14/15) Tj\n(Total: "), amt,
+            F.lit(") Tj\n0 -14 Td\n(Date: 3/14/15) Tj\n"
+                  "0 -14 Td\n(Total: "), amt,
             F.lit(") Tj\nET\nBT\n(notes: "), esc,
             F.lit(") Tj\nET\n%%EOF"),
         ),

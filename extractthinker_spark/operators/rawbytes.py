@@ -397,6 +397,19 @@ _PDF_SHOW_RE = re.compile(
 )
 # string elements inside a TJ array, literal or hex, in order
 _PDF_STR_RE = re.compile(_PDF_STR + rb"|" + _PDF_HEX)
+# full in-block token stream: show ops + the text-positioning ops that
+# decide LINE STRUCTURE (PDF 32000-1 §9.4.2): Td/TD (relative move),
+# T* (next line), Tm (absolute matrix), ' (move-then-show)
+_PDF_TOK_RE = re.compile(
+    _PDF_STR + rb"\s*(Tj|')"
+    + rb"|" + _PDF_HEX + rb"\s*(Tj|')"
+    + rb"|\[(.*?)\]\s*TJ"
+    + rb"|(-?[0-9.]+)[ \t\r\n]+(-?[0-9.]+)[ \t\r\n]+(Td|TD)\b"
+    + rb"|(T\*)"
+    + rb"|(?:-?[0-9.]+[ \t\r\n]+){4}(-?[0-9.]+)[ \t\r\n]+(-?[0-9.]+)"
+    + rb"[ \t\r\n]+Tm\b",
+    re.DOTALL,
+)
 # content-stream objects: << dict >> stream\n ... endstream
 _PDF_STREAM_RE = re.compile(
     rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL
@@ -558,28 +571,62 @@ def _pdf_hex_string(
 def _pdf_block_text(
     block: bytes, cmap: tuple[int, dict[int, str]] | None = None
 ) -> str:
-    """Shown text of one ``BT..ET`` block: ``Tj`` / ``TJ`` operators in
-    stream order; ``Tj`` strings one per line, ``TJ`` array strings
-    concatenated (kerning numbers dropped — pypdf's extract_text
-    convention for adjacent array elements). Literal AND hex strings;
-    hex strings go through the document's ToUnicode ``cmap`` when one
-    exists (subset-font glyph codes)."""
-    parts = []
-    for m in _PDF_SHOW_RE.finditer(block):
-        if m.group(1) is not None:  # (s) Tj
-            parts.append(_pdf_unescape(m.group(1)))
-        elif m.group(2) is not None:  # <hex> Tj
-            parts.append(_pdf_hex_string(m.group(2), cmap))
-        else:  # [ ... ] TJ
-            parts.append(
+    """Shown text of one ``BT..ET`` block, POSITION-AWARE (pypdf's
+    extract_text line logic, document_loader_pypdf.py:104-152): show
+    operators (``Tj``, ``'``, ``TJ`` arrays — literal and hex strings,
+    hex through the document ``cmap``) concatenate onto the current
+    line; a line break happens at ``T*``, at ``Td``/``TD`` with a
+    non-zero vertical move, at a ``Tm`` whose y differs from the
+    previous ``Tm``, and before a ``'`` show. Real writers position
+    every fragment (often every glyph) with these operators — joining
+    each show with a newline, the old convention, shredded
+    glyph-per-show PDFs into one character per line."""
+    lines: list[str] = []
+    cur: list[str] = []
+    last_ty: float | None = None
+
+    def newline() -> None:
+        lines.append("".join(cur))
+        cur.clear()
+
+    def num(b: bytes) -> float | None:
+        try:
+            return float(b)
+        except ValueError:
+            return None
+
+    for m in _PDF_TOK_RE.finditer(block):
+        if m.group(1) is not None or m.group(3) is not None:
+            op = m.group(2) if m.group(1) is not None else m.group(4)
+            if op == b"'":
+                newline()
+            cur.append(
+                _pdf_unescape(m.group(1))
+                if m.group(1) is not None
+                else _pdf_hex_string(m.group(3), cmap)
+            )
+        elif m.group(5) is not None:  # [ ... ] TJ
+            cur.append(
                 "".join(
                     _pdf_unescape(sm.group(1))
                     if sm.group(1) is not None
                     else _pdf_hex_string(sm.group(2), cmap)
-                    for sm in _PDF_STR_RE.finditer(m.group(3))
+                    for sm in _PDF_STR_RE.finditer(m.group(5))
                 )
             )
-    return "\n".join(p for p in parts if p)
+        elif m.group(8) is not None:  # tx ty Td/TD
+            ty = num(m.group(7))
+            if ty:  # non-zero vertical move = new line
+                newline()
+        elif m.group(9) is not None:  # T*
+            newline()
+        else:  # a b c d e f Tm — break on y change
+            ty = num(m.group(11))
+            if last_ty is not None and ty is not None and ty != last_ty:
+                newline()
+            last_ty = ty
+    newline()
+    return "\n".join(ln for ln in lines if ln)
 
 
 def _inflate_pdf_stream(dict_bytes: bytes, data: bytes) -> bytes:
@@ -1713,7 +1760,9 @@ def make_fixture_pdf(pages: list[str], compress: bool = False) -> bytes:
         esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
         content = (
             "BT\n/F1 12 Tf\n"
-            + "\n".join(f"({line}) Tj" for line in esc.split("\n"))
+            + "\n0 -14 Td\n".join(
+                f"({line}) Tj" for line in esc.split("\n")
+            )
             + "\nET\n"
         ).encode("latin-1")
         if compress:
@@ -1763,12 +1812,12 @@ def make_fixture_pdf_tree(
             % (3 + nump + i)
         )
         if subset_font:
-            shows = "\n".join(
+            shows = "\n0 -14 Td\n".join(
                 "<" + "".join("%04x" % code_of[c] for c in line) + "> Tj"
                 for line in text.split("\n")
             )
         elif hex_strings:
-            shows = "\n".join(
+            shows = "\n0 -14 Td\n".join(
                 "<" + line.encode("latin-1").hex() + "> Tj"
                 for line in text.split("\n")
             )
@@ -1777,7 +1826,9 @@ def make_fixture_pdf_tree(
                 text.replace("\\", r"\\").replace("(", r"\(")
                 .replace(")", r"\)")
             )
-            shows = "\n".join(f"({line}) Tj" for line in esc.split("\n"))
+            shows = "\n0 -14 Td\n".join(
+                f"({line}) Tj" for line in esc.split("\n")
+            )
         content = ("BT\n/F1 12 Tf\n" + shows + "\nET\n").encode("latin-1")
         if compress:
             content = zlib.compress(content)

@@ -218,16 +218,32 @@ def test_pdf_flatedecode_golden():
 def test_pdf_tj_array_and_escapes():
     import zlib as _zlib
 
-    # TJ array: strings concatenated, kerning numbers dropped; Tj and
-    # TJ interleave in stream order; octal + named escapes decode
+    # TJ array: strings concatenated, kerning numbers dropped; ADJACENT
+    # shows with no positioning op between them CONCATENATE (pypdf
+    # semantics — per-glyph show streams must not shred into lines);
+    # Td with vertical move / T* / ' / Tm-y-change break lines;
+    # octal + named escapes decode
     body = (
         b"%PDF-1.4\nBT\n"
         b"[ (Hello ) -250 (World) ] TJ\n"
+        b"0 -14 Td\n"
         b"(line\\ntwo \\101\\102) Tj\n"
         b"ET\n%%EOF\n"
     )
-    assert decode_pdf_pages(body) == ["Hello World\nlinetwo AB"
-                                      .replace("linetwo", "line\ntwo")]
+    assert decode_pdf_pages(body) == ["Hello World\nline\ntwo AB"]
+    # adjacent shows, no positioning: one line; T* breaks; horizontal
+    # Td (ty == 0) does NOT break; ' = move-then-show
+    flow = (
+        b"%PDF-1.4\nBT (a) Tj (b) Tj 5 0 Td (c) Tj T* (d) Tj (e) ' ET"
+        b"\n%%EOF\n"
+    )
+    assert decode_pdf_pages(flow) == ["abc\nd\ne"]
+    # Tm: same y continues the line, new y breaks it
+    tm = (
+        b"%PDF-1.4\nBT 1 0 0 1 50 700 Tm (x) Tj 1 0 0 1 90 700 Tm (y) Tj"
+        b" 1 0 0 1 50 680 Tm (z) Tj ET\n%%EOF\n"
+    )
+    assert decode_pdf_pages(tm) == ["xy\nz"]
     # the same content inside a FlateDecode stream = one page
     z = _zlib.compress(b"BT [ (A) 1 (B) ] TJ ET BT (C) Tj ET")
     blob = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
@@ -753,3 +769,42 @@ def test_corrupt_fuzz_never_fails_task(spark):
     for r in out:
         assert isinstance(r["format"], str) and r["format"]
         assert r["spans"] is not None
+
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.path.isdir("/root/reference/tests/files"),
+    reason="reference fixture files not present",
+)
+def test_real_world_reference_files_decode():
+    """Real files shipped with the reference's own test suite (PUBLIC
+    fixtures, used here as INPUTS only): the dependency-free decoders
+    must recover their actual text — the north-rule behavior check
+    against genuinely real-world bytes, not just our fixtures."""
+    import pathlib
+
+    base = pathlib.Path("/root/reference/tests/files")
+
+    inv = decode_pdf_pages((base / "invoice.pdf").read_bytes())
+    assert len(inv) == 1
+    assert "Market Financial Consulting" in inv[0]
+    assert "INVOICE" in inv[0] and "00012" in inv[0]
+
+    cv = decode_pdf_pages((base / "CV_Candidate.pdf").read_bytes())
+    assert "johndoe@example.com" in cv[0]
+    # word boundaries survive (per-glyph shows concatenate, per-word
+    # blocks split) — the tokenizer-critical property
+    assert "Software" in cv[0] and "Developer" in cv[0]
+
+    docx = decode_docx_pages((base / "invoice.docx").read_bytes())
+    assert "Market Financial Consulting" in docx[0]
+
+    from extractthinker_spark.operators.rawbytes import decode_xlsx_sheets
+
+    xl = dict(decode_xlsx_sheets((base / "family_budget.xlsx").read_bytes()))
+    assert "Current Month" in xl
+    assert "Family Budget" in xl["Current Month"]

@@ -808,3 +808,12 @@ def test_real_world_reference_files_decode():
     xl = dict(decode_xlsx_sheets((base / "family_budget.xlsx").read_bytes()))
     assert "Current Month" in xl
     assert "Family Budget" in xl["Current Month"]
+
+    # page-count parity with the reference's OWN test expectation
+    # (test_document_loader_markitdown.py::test_page_separator_splitting
+    # asserts exactly 2 pages for this file)
+    gdp2 = decode_pdf_pages(
+        (base / "Regional_GDP_per_capita_2018_2.pdf").read_bytes()
+    )
+    assert len(gdp2) == 2
+    assert "Regional GDP" in gdp2[0]

@@ -185,3 +185,35 @@ def test_connected_components_and_canonical(spark):
     assert canon[1] == (1, True) and canon[3] == (1, False)
     assert canon[14] == (10, False) and canon[10] == (10, True)
     assert canon[99] == (99, True)  # singleton: its own canonical
+
+
+def test_near_dup_pipeline_end_to_end(spark):
+    """The composed dedup road: MinHash LSH pairs → verified Jaccard →
+    connected components → canonical keep-list. A 3-doc near-dup
+    cluster (one char apart) collapses to its smallest member;
+    unrelated docs survive as their own canonicals."""
+    from extractthinker_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_near_canonical,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain falls mainly on the plain tonight")
+    rows = [
+        (1, base),
+        (2, base.replace("tonight", "tonite")),
+        (3, base.replace("quick", "quik")),
+        (10, "completely unrelated text about submarine cables and "
+             "optical amplifier spacing in the north atlantic ocean"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = dedup_minhash(d, "doc_id", "text", threshold=0.7)
+    canon = {
+        r["doc_id"]: (r["canonical"], r["is_canonical"])
+        for r in dedup_near_canonical(d, pairs).collect()
+    }
+    assert canon[1] == (1, True)
+    assert canon[2] == (1, False) and canon[3] == (1, False)
+    assert canon[10] == (10, True)
+    kept = {k for k, (_, isc) in canon.items() if isc}
+    assert kept == {1, 10}

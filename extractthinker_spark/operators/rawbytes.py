@@ -697,6 +697,152 @@ def _pdf_expand_objstms(objs: dict[int, bytes]) -> None:
             objs.setdefault(num, data[first + off : end])
 
 
+# --- Standard security handler (RC4), PDF 32000-1 §7.6.3 ---------------
+# Owner-encrypted PDFs with an EMPTY user password open in every
+# viewer; pypdf decrypts them transparently. Streams are RC4'd with a
+# per-object key derived from the file key (Algorithms 1 and 2).
+
+_PDF_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+_PDF_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_PDF_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pdf_string_bytes(body: bytes, name: bytes) -> bytes | None:
+    """Value of /name when it is a literal or hex string."""
+    m = re.search(name + rb"\s*\(((?:[^()\\]|\\.)*)\)", body, re.DOTALL)
+    if m:
+        return _pdf_unescape(m.group(1)).encode("latin-1")
+    m = re.search(name + rb"\s*<([0-9A-Fa-f\s]*)>", body)
+    if m:
+        return _pdf_hex_string(m.group(1)).encode("latin-1")
+    return None
+
+
+def _pdf_file_key(enc: bytes, id0: bytes) -> bytes | None:
+    """Algorithm 2 file key for the EMPTY user password (R=2/3 RC4
+    handlers). None for unsupported revisions (AES, user-password)."""
+    import hashlib
+
+    fm = re.search(rb"/Filter\s*/Standard\b", enc)
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    o = _pdf_string_bytes(enc, rb"/O")
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    if not (fm and rm and o and pm):
+        return None
+    r = int(rm.group(1))
+    if r not in (2, 3):
+        return None  # R>=4 (AES / crypt filters): out of subset
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    keylen = 5 if r == 2 else (int(lm.group(1)) // 8 if lm else 5)
+    p = int(pm.group(1)) & 0xFFFFFFFF
+    h = hashlib.md5(
+        _PDF_PAD + o[:32] + p.to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    return h[:keylen]
+
+
+def _pdf_decrypt(b: bytes) -> bytes:
+    """RC4-decrypt every stream payload in place (length-preserving)
+    when the document carries a supported /Encrypt dict; otherwise the
+    input is returned untouched. Per-object key = Algorithm 1:
+    md5(file_key + objnum_le24 + gen_le16) truncated."""
+    import hashlib
+
+    em = _PDF_ENCRYPT_REF_RE.search(b)
+    if not em:
+        return b
+    enc_num = int(em.group(1))
+    enc_body = None
+    for m in _PDF_OBJ_RE.finditer(b):
+        if int(m.group(1)) == enc_num:
+            enc_body = m.group(2)
+            break
+    if enc_body is None:
+        return b
+    idm = _PDF_ID_RE.search(b)
+    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    key = _pdf_file_key(enc_body, id0)
+    if key is None:
+        return b
+    out = bytearray(b)
+    for m in _PDF_OBJ_RE.finditer(b):
+        num = int(m.group(1))
+        if num == enc_num:
+            continue
+        sm = _PDF_STREAM_RE.search(m.group(2))
+        if not sm:
+            continue
+        okey = hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[: min(len(key) + 5, 16)]
+        start = m.start(2) + sm.start(2)
+        out[start : start + len(sm.group(2))] = _rc4(okey, sm.group(2))
+    return bytes(out)
+
+
+def encrypt_fixture_pdf(b: bytes, key_bits: int = 128) -> bytes:
+    """Wrap a fixture PDF in the standard RC4 security handler (empty
+    user password): every stream payload RC4'd with its per-object key
+    (RC4 is symmetric, so the decryptor inverts it exactly), plus the
+    /Encrypt dict object and a trailer carrying /Encrypt and /ID."""
+    import hashlib
+
+    enc_num = 9000
+    r = 2 if key_bits == 40 else 3
+    o_bytes = hashlib.md5(b"fixture-owner-key").digest() * 2  # 32 bytes
+    id0 = hashlib.md5(b"fixture-id").digest()
+    enc_body = (
+        b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> "
+        b"/U <%s> /P -44 >>"
+        % (
+            1 if r == 2 else 2, r, key_bits,
+            o_bytes.hex().encode("ascii"),
+            (b"\0" * 32).hex().encode("ascii"),
+        )
+    )
+    fake = (
+        b + b"%d 0 obj\n" % enc_num + enc_body + b"\nendobj\n"
+        + b"trailer\n<< /Encrypt %d 0 R /ID [<%s> <%s>] >>\n"
+        % (enc_num, id0.hex().encode("ascii"), id0.hex().encode("ascii"))
+    )
+    key = _pdf_file_key(enc_body, id0)
+    out = bytearray(fake)
+    for m in _PDF_OBJ_RE.finditer(fake):
+        num = int(m.group(1))
+        if num == enc_num:
+            continue
+        sm = _PDF_STREAM_RE.search(m.group(2))
+        if not sm:
+            continue
+        okey = hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[: min(len(key) + 5, 16)]
+        start = m.start(2) + sm.start(2)
+        out[start : start + len(sm.group(2))] = _rc4(okey, sm.group(2))
+    return bytes(out)
+
+
 def _pdf_tree_pages(b: bytes) -> list[str] | None:
     """Page texts ordered by the document's /Catalog → /Pages → /Kids
     tree (the ordering pypdf derives from the trailer,
@@ -775,8 +921,12 @@ def decode_pdf_pages(b: bytes) -> list[str]:
         compatibility);
       * text-show operators: ``(s) Tj``, ``<hex> Tj`` and ``[..] TJ``
         arrays (literal + hex elements), with full literal-string
-        escape decoding.
+        escape decoding;
+      * RC4-encrypted documents (standard security handler, empty
+        user password — the common owner-protected shape) decrypt
+        transparently first.
     """
+    b = _pdf_decrypt(b)
     tree = _pdf_tree_pages(b)
     if tree is not None:
         return tree

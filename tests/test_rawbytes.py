@@ -817,3 +817,34 @@ def test_real_world_reference_files_decode():
     )
     assert len(gdp2) == 2
     assert "Regional GDP" in gdp2[0]
+
+
+def test_pdf_rc4_encrypted_decode():
+    """Owner-encrypted PDFs (standard RC4 security handler, empty user
+    password — they open in any viewer, pypdf decrypts transparently):
+    per-object-key RC4 stream decryption recovers the text for both
+    40- and 128-bit keys, across tree/hex/compressed shapes; documents
+    with unsupported handlers degrade to no-decrypt instead of
+    raising."""
+    from extractthinker_spark.operators.rawbytes import (
+        encrypt_fixture_pdf,
+        make_fixture_pdf_tree,
+    )
+
+    pages = ["Secret invoice 99\nTotal: 12.50", "terms page two"]
+    for bits in (40, 128):
+        for blob in (
+            make_fixture_pdf_tree(pages, compress=True, scramble=True),
+            make_fixture_pdf_tree(pages, hex_strings=True),
+            make_fixture_pdf(pages, compress=True),
+        ):
+            enc = encrypt_fixture_pdf(blob, key_bits=bits)
+            assert enc != blob
+            assert decode_pdf_pages(enc) == pages, bits
+    # AES / R>=4 handlers are out of the subset: no decrypt, no raise
+    aes = (
+        make_fixture_pdf(pages, compress=True)
+        + b"5000 0 obj\n<< /Filter /Standard /R 4 /O <00> /P -44 >>\n"
+          b"endobj\ntrailer\n<< /Encrypt 5000 0 R >>\n"
+    )
+    decode_pdf_pages(aes)  # must not raise

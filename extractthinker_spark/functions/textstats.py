@@ -467,6 +467,8 @@ def gopher_filter(
             continue
         cond = (F.col(col) < t[tkey]) if op == "<" else (F.col(col) > t[tkey])
         reason = F.when(cond, label) if reason is None else reason.when(cond, label)
+    if reason is None:  # every rule disabled → keep everything
+        reason = F.lit(None).cast("string")
     return feats.select(
         "*", reason.alias("reject_reason"),
         reason.isNull().alias("keep"),

@@ -22,6 +22,8 @@ pair generation is within-bucket.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -681,9 +683,14 @@ def dedup_lines_corpus(
     hash join, all on digest-width keys — the minimum for a statistic
     that is genuinely corpus-global.
     """
+    # sep is a LITERAL separator on both the split and the rejoin:
+    # quote it for Java-regex F.split (\Q..\E) so regex-meaningful
+    # separators ('.', '||') round-trip instead of mis-splitting.
     lines = df.select(
         F.col(key).alias("_k"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     ).withColumn(
         "_h",
         F.when(
@@ -737,6 +744,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 15,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, comp) — connected components of the near-dup pair graph,
     comp = the smallest node id reachable from ``node``. The step
@@ -750,7 +758,11 @@ def connected_components(
     = graph diameter, and near-dup clusters are shallow (stars/short
     chains), so 3-4 rounds is typical. ``max_iters`` bounds
     adversarial chains; the convergence check is one count per round
-    on the labels table (node-sized, never edge-sized). Labels are
+    on the labels table (node-sized, never edge-sized). Hitting
+    ``max_iters`` without convergence is never silent (same rule as
+    the MinHash bucket-cap audit): a warning is emitted, or with
+    ``strict=True`` a ``RuntimeError`` — truncated propagation means
+    split components and an over-kept keep-list. Labels are
     localCheckpoint'ed each round — iterative plans DOUBLE per round
     otherwise and Catalyst re-optimizes the whole history (the
     classic iterative-algorithm trap).
@@ -770,6 +782,7 @@ def connected_components(
         .select(F.col("u").alias("node"), F.col("u").alias("comp"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -802,6 +815,15 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing): components may be split "
+            "and near-dup canonicalization will over-keep. Raise max_iters."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 

@@ -513,13 +513,18 @@ def _parse_cmap(content: bytes) -> tuple[int, dict[int, str]] | None:
     return width, mapping
 
 
-def _pdf_collect_cmap(b: bytes) -> tuple[int, dict[int, str]] | None:
-    """Merged ToUnicode mapping across the document's CMap streams.
-    Without per-font /Resources tracking (out of the subset's scope)
-    the union is applied to every hex string — correct for the
-    overwhelmingly common one-subset-font tool output, and unmapped
-    single-byte codes still fall back to Latin-1."""
-    width = None
+def _pdf_collect_cmap(b: bytes) -> tuple[int, dict[int, str], bool] | None:
+    """Merged ToUnicode mapping across the document's CMap streams →
+    (code width, mapping, strict). Without per-font /Resources
+    tracking (out of the subset's scope) the union is applied to
+    every hex string — correct for the overwhelmingly common
+    one-subset-font tool output. When the document's fonts disagree
+    on code width, ``strict=True``: :func:`_pdf_hex_string` then
+    applies the mapping only to strings whose every code is mapped,
+    so a plain Latin-1 hex string next to a 2-byte subset font keeps
+    its correct single-byte decode instead of being chopped into
+    2-byte garbage."""
+    widths: set[int] = set()
     merged: dict[int, str] = {}
     for m in _PDF_STREAM_RE.finditer(b):
         content = m.group(2)
@@ -531,21 +536,25 @@ def _pdf_collect_cmap(b: bytes) -> tuple[int, dict[int, str]] | None:
         if parsed is None:
             continue
         w, mapping = parsed
-        width = w if width is None else max(width, w)
+        widths.add(w)
         for k, v in mapping.items():
             merged.setdefault(k, v)
-    if not merged or width is None:
+    if not merged or not widths:
         return None
-    return width, merged
+    return max(widths), merged, len(widths) > 1
 
 
 def _pdf_hex_string(
-    h: bytes, cmap: tuple[int, dict[int, str]] | None = None
+    h: bytes, cmap: tuple[int, dict[int, str], bool] | None = None
 ) -> str:
     """Hex-string payload → text: whitespace dropped, odd final digit
     zero-padded (PDF 32000-1 §7.3.4.3). With a ToUnicode ``cmap`` the
     bytes are read as glyph codes of the mapped width; otherwise (and
-    for unmapped single-byte codes) as Latin-1."""
+    for unmapped single-byte codes) as Latin-1. A string whose byte
+    length doesn't divide by the mapped width, or — under a
+    width-conflicted document cmap (``strict``) — containing any
+    unmapped multi-byte code, falls back WHOLE to Latin-1: it belongs
+    to a different (unmapped) font than the CMap's."""
     digits = b"".join(h.split())
     if len(digits) % 2:
         digits += b"0"
@@ -557,19 +566,23 @@ def _pdf_hex_string(
         return ""
     if cmap is None:
         return raw.decode("latin-1")
-    width, mapping = cmap
+    width, mapping, strict = cmap
+    if width > 1 and len(raw) % width:
+        return raw.decode("latin-1")
     out = []
     for i in range(0, len(raw) - width + 1, width):
         code = int.from_bytes(raw[i : i + width], "big")
         mapped = mapping.get(code)
         if mapped is None:
+            if strict and width > 1:
+                return raw.decode("latin-1")
             mapped = chr(code) if width == 1 else "�"
         out.append(mapped)
     return "".join(out)
 
 
 def _pdf_block_text(
-    block: bytes, cmap: tuple[int, dict[int, str]] | None = None
+    block: bytes, cmap: tuple[int, dict[int, str], bool] | None = None
 ) -> str:
     """Shown text of one ``BT..ET`` block, POSITION-AWARE (pypdf's
     extract_text line logic, document_loader_pypdf.py:104-152): show

@@ -118,16 +118,17 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
     )
 
     # Per-wave memo: CheckpointedRun passes the SAME wave_in object to
-    # transform() and audit(), so keying on object identity lets the
-    # gated path extract and judge each wave ONCE (localCheckpoint
-    # materializes the shared stage; without it the output plan, the
-    # keep-filter, and the audit would each recompute extraction —
-    # ~3x the wave's dominant cost).
-    _wave_memo: dict[int, tuple] = {}
+    # transform() and audit(), so stashing the (ext, verdict) pair ON
+    # that object lets the gated path extract and judge each wave ONCE
+    # (localCheckpoint materializes the shared stage; without it the
+    # output plan, the keep-filter, and the audit would each recompute
+    # extraction — ~3x the wave's dominant cost). The memo lives and
+    # dies with the wave's DataFrame — an id()-keyed dict could alias
+    # a later wave onto a dead wave's entry after GC reuses the id.
 
     def _extracted_and_verdict(df, salted):
-        key = id(df)
-        if key not in _wave_memo:
+        memo = getattr(df, "_etspark_gate_memo", None)
+        if memo is None:
             import pyspark.sql.functions as F
 
             from extractthinker_spark.functions.textstats import gopher_filter
@@ -140,9 +141,9 @@ def main(argv: list[str] | None = None, stop: bool = True) -> None:
                 ),
                 thresholds=gate_thresholds,
             ).localCheckpoint()
-            _wave_memo.clear()  # keep exactly one wave's checkpoints
-            _wave_memo[key] = (ext, verdict)
-        return _wave_memo[key]
+            memo = (ext, verdict)
+            df._etspark_gate_memo = memo
+        return memo
 
     def transform(df):
         # The flagship pipeline is span-granular after explode, so skew

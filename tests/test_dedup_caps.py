@@ -217,3 +217,29 @@ def test_near_dup_pipeline_end_to_end(spark):
     assert canon[10] == (10, True)
     kept = {k for k, (_, isc) in canon.items() if isc}
     assert kept == {1, 10}
+
+
+def test_connected_components_nonconvergence_audited(spark):
+    """Hitting max_iters without convergence is never silent: a
+    diameter-6 chain truncated at 1 round warns (or raises under
+    strict=True) instead of silently returning split components."""
+    import warnings as _w
+
+    import pytest
+
+    from extractthinker_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "a int, b int"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        connected_components(chain, max_iters=1).collect()
+    assert any("did not converge" in str(c.message) for c in caught)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=1, strict=True)
+    # a converged run stays silent
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        connected_components(chain, max_iters=10).collect()
+    assert not any("did not converge" in str(c.message) for c in caught)

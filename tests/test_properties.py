@@ -396,3 +396,40 @@ def test_driver_contract_key_sync():
         sorted(set(qs) ^ set(sql)),
     )
     assert len(qs) >= 55
+
+
+def test_gopher_filter_all_rules_disabled(spark):
+    """Disabling every gate rule degrades to keep-everything with a
+    NULL reject_reason instead of raising."""
+    from extractthinker_spark.functions.textstats import (
+        GOPHER_GATE_RULES,
+        gopher_filter,
+    )
+
+    off = {tkey: None for _, _, _, tkey in GOPHER_GATE_RULES}
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "zz " * 400)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_filter(df, thresholds=off).collect()}
+    assert all(r["keep"] and r["reject_reason"] is None for r in got.values())
+
+
+def test_dedup_lines_corpus_regex_meaningful_sep(spark):
+    """sep is documented as a LITERAL separator: '.' must split on
+    dots (not every character) and round-trip through the rejoin."""
+    from extractthinker_spark.operators.dedup import dedup_lines_corpus
+
+    rows = [
+        ("a", "keep me.common part.tail a"),
+        ("b", "other text.common part.tail b"),
+        ("c", "common part.solo c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_lines_corpus(df, min_doc_freq=3, sep=".").collect()
+    }
+    assert got["a"]["text_clean"] == "keep me.tail a"
+    assert got["b"]["text_clean"] == "other text.tail b"
+    assert got["c"]["text_clean"] == "solo c"
+    assert all(r["n_lines_dropped"] == 1 for r in got.values())

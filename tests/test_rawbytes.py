@@ -848,3 +848,23 @@ def test_pdf_rc4_encrypted_decode():
           b"endobj\ntrailer\n<< /Encrypt 5000 0 R >>\n"
     )
     decode_pdf_pages(aes)  # must not raise
+
+
+def test_pdf_mixed_width_cmap_latin1_fallback():
+    """A document mixing a 2-byte subset font with plain Latin-1 hex
+    strings must NOT force the 2-byte width onto the Latin-1 strings:
+    under a width-conflicted cmap (strict), a string with any unmapped
+    multi-byte code falls back whole to Latin-1, and a string whose
+    length doesn't divide by the width does too."""
+    from extractthinker_spark.operators.rawbytes import _pdf_hex_string
+
+    strict_cmap = (2, {0x0102: "A", 0x0304: "B"}, True)
+    # fully mapped 2-byte string decodes through the cmap
+    assert _pdf_hex_string(b"01020304", strict_cmap) == "AB"
+    # 'Hi' as Latin-1 hex: 0x4869 unmapped -> whole-string fallback
+    assert _pdf_hex_string(b"4869", strict_cmap) == "Hi"
+    # odd length relative to width=2 -> fallback regardless of strict
+    loose_cmap = (2, {0x0102: "A"}, False)
+    assert _pdf_hex_string(b"486921", loose_cmap) == "Hi!"
+    # non-strict unmapped 2-byte code keeps the replacement-char path
+    assert _pdf_hex_string(b"0102FFFF", loose_cmap) == "A�"

@@ -1987,23 +1987,66 @@ _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 
 
 def _langid_sql() -> str:
-    codes = sorted(LANG_STOPWORDS)
-    hits = ", ".join(
-        "len(list_filter(words, x -> x IN ({}))) AS h_{}".format(
-            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[c]), c
-        )
-        for c in codes
+    """GENERATED twin of textstats.lang_id: per-script character
+    counts (kana rule for zh/ja), ASCII-letter count, 20-language
+    stopword vote — same tables, same precedence, same tie-breaks."""
+    from extractthinker_spark.functions.textstats import (
+        LANG_SCRIPTS,
+        script_class_re2,
+        stopword_regex,
     )
-    gm = "greatest({})".format(", ".join(f"h_{c}" for c in codes))
-    case = " ".join(f"WHEN h_{c} = gm THEN '{c}'" for c in codes)
+
+    raw = ", ".join(
+        "length(text) - length(regexp_replace(text, '{}', '', 'g')) "
+        "AS r_{}".format(script_class_re2(ranges), code)
+        for code, ranges in LANG_SCRIPTS
+    )
+    votes = ", ".join(
+        "len(regexp_extract_all(lower(text), '{}')) AS v_{}".format(
+            stopword_regex(c), c
+        )
+        for c in sorted(LANG_STOPWORDS)
+    )
+    scored = []
+    for code, _ in LANG_SCRIPTS:
+        if code == "ja":
+            scored.append(
+                "CASE WHEN r_ja > 0 THEN r_ja + r_zh ELSE 0 END AS s_ja"
+            )
+        elif code == "zh":
+            scored.append("CASE WHEN r_ja > 0 THEN 0 ELSE r_zh END AS s_zh")
+        else:
+            scored.append(f"r_{code} AS s_{code}")
+    sm = "greatest({})".format(
+        ", ".join(f"s_{c}" for c, _ in LANG_SCRIPTS)
+    )
+    vm = "greatest({})".format(
+        ", ".join(f"v_{c}" for c in sorted(LANG_STOPWORDS))
+    )
+    # first-match CASE = precedence tie-break (script order / sorted
+    # code order), mirroring the Spark array_max struct ordering
+    s_case = "CASE {} END".format(
+        " ".join(f"WHEN s_{c} = sm THEN '{c}'" for c, _ in LANG_SCRIPTS)
+    )
+    v_case = "CASE {} END".format(
+        " ".join(f"WHEN v_{c} = vm THEN '{c}'"
+                 for c in sorted(LANG_STOPWORDS))
+    )
     return f"""
-        WITH w AS (
-          SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+        WITH c AS (
+          SELECT doc_id,
+                 length(text) - length(
+                   regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+                 {raw}, {votes}
           FROM documents
-        ), h AS (SELECT doc_id, {hits} FROM w),
-        g AS (SELECT *, {gm} AS gm FROM h)
+        ), s AS (
+          SELECT *, {", ".join(scored)} FROM c
+        ), g AS (SELECT *, {sm} AS sm, {vm} AS vm FROM s)
         SELECT doc_id,
-               CASE WHEN gm = 0 THEN 'und' {case} END AS pred_lang
+               CASE WHEN sm > latin THEN {s_case}
+                    WHEN vm > 0 THEN {v_case}
+                    WHEN sm > 0 THEN {s_case}
+                    ELSE 'und' END AS pred_lang
         FROM g
     """
 

@@ -491,35 +491,188 @@ def quality_score(text: Column) -> Column:
 
 # --- language identification ----------------------------------------------
 
+# Two-stage deterministic web-scale ID (the shape CLD/fastText use,
+# reduced to engine-exact integer arithmetic):
+#   1. Unicode-SCRIPT histogram — CJK/Cyrillic/Arabic/… decide
+#      directly when their characters outnumber ASCII letters (at
+#      Common-Crawl scale ~half the web is non-Latin-script; a
+#      stopword vote alone returns 'und' for all of it).
+#   2. Latin-script tie → expanded stopword vote (20 languages,
+#      ASCII-only word lists so Java and RE2 agree on \b).
+# Both the Spark expression and the DuckDB oracle SQL are GENERATED
+# from these tables (same rule as GOPHER_GATE_RULES), so the two
+# engines cannot drift on inventory.
+
+# (code, [(lo, hi) BMP codepoint ranges]) in PRECEDENCE order — ties
+# on equal character counts resolve to the earlier row. Kana before
+# Han: Japanese text always carries kana, Chinese never does, so the
+# zh/ja split is "any kana → ja" (s_zh is zeroed when kana > 0 and
+# s_ja counts kana+han, see lang_scores()).
+LANG_SCRIPTS: list[tuple[str, list[tuple[int, int]]]] = [
+    ("ja", [(0x3040, 0x30FF)]),                    # hiragana+katakana
+    ("ko", [(0xAC00, 0xD7A3), (0x1100, 0x11FF)]),  # hangul + jamo
+    ("zh", [(0x4E00, 0x9FFF), (0x3400, 0x4DBF)]),  # han (+ext A)
+    ("ru", [(0x0400, 0x04FF)]),                    # cyrillic
+    ("ar", [(0x0600, 0x06FF), (0x0750, 0x077F)]),  # arabic
+    ("he", [(0x0590, 0x05FF)]),                    # hebrew
+    ("el", [(0x0370, 0x03FF)]),                    # greek
+    ("hi", [(0x0900, 0x097F)]),                    # devanagari
+    ("bn", [(0x0980, 0x09FF)]),                    # bengali
+    ("ta", [(0x0B80, 0x0BFF)]),                    # tamil
+    ("th", [(0x0E00, 0x0E7F)]),                    # thai
+    ("ka", [(0x10A0, 0x10FF)]),                    # georgian
+    ("hy", [(0x0530, 0x058F)]),                    # armenian
+]
+
+# ASCII-only stopword lists (~15 distinctive words each): Java's
+# default \b and RE2's \b are both ASCII-\w based, so accent-free
+# lists keep the two engines' boundary semantics identical. Overlaps
+# across related languages are fine — the vote is max-hits.
 LANG_STOPWORDS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "is", "to"],
-    "de": ["der", "und", "die", "ist", "das"],
-    "fr": ["le", "et", "les", "est", "une"],
-    "es": ["el", "y", "los", "es", "una"],
-    "it": ["il", "e", "di", "che", "una"],
+    "en": ["the", "and", "of", "is", "to", "in", "that", "was", "with",
+           "for", "his", "this", "which", "not", "have"],
+    "de": ["der", "und", "die", "ist", "das", "nicht", "ein", "mit",
+           "auch", "sich", "auf", "ich", "dem", "den", "werden"],
+    "fr": ["le", "et", "les", "est", "une", "dans", "des", "pas",
+           "pour", "qui", "vous", "nous", "mais", "sur", "sont"],
+    "es": ["el", "y", "los", "es", "una", "que", "del", "las", "por",
+           "con", "para", "como", "pero", "sus", "este"],
+    "it": ["il", "e", "di", "che", "una", "per", "sono", "della",
+           "anche", "questo", "come", "gli", "alla", "nel", "hanno"],
+    "pt": ["de", "que", "uma", "para", "com", "dos", "mais", "nao",
+           "seu", "pelo", "isso", "ela", "muito", "quando", "mesmo"],
+    "nl": ["het", "van", "een", "niet", "aan", "voor", "met", "zijn",
+           "maar", "ook", "deze", "naar", "worden", "wordt", "heeft"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "inte",
+           "med", "han", "var", "jag", "till", "har", "ett"],
+    "da": ["og", "det", "af", "til", "en", "der", "ikke", "han",
+           "med", "jeg", "har", "som", "den", "var", "kan"],
+    "no": ["og", "det", "av", "til", "en", "som", "ikke", "han",
+           "med", "jeg", "har", "den", "var", "kan", "vi"],
+    "fi": ["ja", "on", "ei", "joka", "oli", "mutta", "niin", "kun",
+           "hyvin", "mika", "myos", "ovat", "ollut", "seka", "vain"],
+    "pl": ["nie", "jest", "sie", "jak", "ale", "czy", "tak", "jego",
+           "przez", "tego", "tylko", "jednak", "oraz", "bardzo", "przy"],
+    "cs": ["je", "se", "na", "ale", "jako", "jsem", "jsou", "byl",
+           "tak", "nebo", "ktery", "pro", "podle", "jeho", "take"],
+    "ro": ["si", "de", "la", "cu", "este", "care", "pentru", "mai",
+           "din", "sunt", "fost", "sau", "dar", "nu", "prin"],
+    "hu": ["hogy", "nem", "az", "egy", "meg", "volt", "csak", "mar",
+           "van", "ez", "ki", "ha", "mint", "vagy", "lehet"],
+    "tr": ["bir", "ve", "bu", "ile", "olarak", "daha", "gibi", "sonra",
+           "ancak", "kadar", "var", "ama", "olan", "ben", "ne"],
+    "id": ["yang", "dan", "di", "dengan", "untuk", "dari", "ini",
+           "itu", "pada", "tidak", "dalam", "akan", "juga", "ada",
+           "mereka"],
+    "tl": ["ang", "ng", "sa", "mga", "ay", "na", "ito", "para",
+           "kung", "niya", "siya", "ako", "hindi", "lang", "ninyo"],
+    "sw": ["na", "ya", "wa", "kwa", "ni", "za", "katika", "hii",
+           "kama", "lakini", "pia", "sana", "wake", "yake", "watu"],
+    "vi": ["va", "cua", "trong", "nguoi", "khong", "nay", "den",
+           "cho", "nhung", "mot", "dau", "anh", "toi", "ong", "theo"],
 }
 
 
+def _script_class_java(ranges: list[tuple[int, int]]) -> str:
+    """Java-regex char class matching the script's BMP ranges."""
+    return "[" + "".join(chr(lo) + "-" + chr(hi) for lo, hi in ranges) + "]"
+
+
+def script_class_re2(ranges: list[tuple[int, int]]) -> str:
+    """RE2 (DuckDB) char class — \\x{..} escapes keep the SQL ASCII."""
+    body = "".join(
+        "\\x{%04X}-\\x{%04X}" % (lo, hi) for lo, hi in ranges
+    )
+    return "[" + body + "]"
+
+
+def stopword_regex(code: str) -> str:
+    r"""``\b(w1|w2|...)\b`` vote regex — identical in Java and RE2 for
+    ASCII-only words (both engines' \b is ASCII-\w based)."""
+    return r"\b(" + "|".join(LANG_STOPWORDS[code]) + r")\b"
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """Per-script character counts in LANG_SCRIPTS precedence order,
+    with the zh/ja kana rule applied: any kana present zeroes zh and
+    folds han into ja's score (Japanese prose is kana+kanji; Chinese
+    has no kana). Each count = length - length(strip script chars) —
+    one codegen'd regex pass per script, no UDF."""
+    def cnt(ranges: list[tuple[int, int]]) -> Column:
+        cls = _script_class_java(ranges)
+        return F.length(text) - F.length(F.regexp_replace(text, cls, ""))
+
+    raw = {code: cnt(ranges) for code, ranges in LANG_SCRIPTS}
+    kana, han = raw["ja"], raw["zh"]
+    scored = []
+    for code, _ in LANG_SCRIPTS:
+        if code == "ja":
+            scored.append((code, F.when(kana > 0, kana + han).otherwise(0)))
+        elif code == "zh":
+            scored.append((code, F.when(kana > 0, F.lit(0)).otherwise(han)))
+        else:
+            scored.append((code, raw[code]))
+    return scored
+
+
+def _let1(expr: Column, body) -> Column:
+    """Bind ``expr`` once (CSE across when-branches — see NOTES.md on
+    per-branch re-inlining)."""
+    return F.transform(F.array(expr), body)[0]
+
+
 def lang_id(text: Column) -> Column:
-    """Stopword-vote language ID. Ties break to the lexically smallest
-    language code; zero hits everywhere → 'und' (undetermined)."""
-    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), F.lit(0))
+    """Web-scale deterministic language ID.
 
-    def is_in(sws):
-        return lambda w: w.isin(*sws)
+    Stage 1: Unicode-script histogram — the winning non-Latin script
+    (precedence on ties) decides when its character count exceeds the
+    ASCII-letter count. Stage 2: Latin stopword vote across 20
+    languages (ties → lexically smallest code). A text with zero vote
+    hits falls back to any non-zero script evidence, else 'und'.
+    All-integer comparisons → bit-exact vs the generated DuckDB twin.
+    """
+    latin = F.length(text) - F.length(
+        F.regexp_replace(text, "[A-Za-z]", "")
+    )
+    scripts = lang_scores(text)
+    low = F.lower(text)
+    votes = [
+        (code,
+         F.size(F.regexp_extract_all(low, F.lit(stopword_regex(code)),
+                                     F.lit(0))))
+        for code in sorted(LANG_STOPWORDS)
+    ]
 
-    scored = F.array(
-        *[
+    # one struct holds every count — the regex passes run ONCE; the
+    # decision below only references lambda-bound struct fields.
+    packed = F.struct(
+        latin.alias("latin"),
+        *[c.alias("s_" + code) for code, c in scripts],
+        *[c.alias("v_" + code) for code, c in votes],
+    )
+
+    def decide(c: Column) -> Column:
+        best_script = F.array_max(F.array(*[
             F.struct(
-                F.size(F.filter(words, is_in(sws))).alias("hits"),
+                c["s_" + code].alias("hits"),
+                F.lit(-i).alias("prec"),        # ties → earlier row
                 F.lit(code).alias("code"),
             )
-            for code, sws in sorted(LANG_STOPWORDS.items())
-        ]
-    )
-    best = F.aggregate(
-        scored,
-        F.struct(F.lit(0).alias("hits"), F.lit("und").alias("code")),
-        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
-    )
-    return best["code"]
+            for i, (code, _) in enumerate(LANG_SCRIPTS)
+        ]))
+        best_vote = F.array_max(F.array(*[
+            F.struct(
+                c["v_" + code].alias("hits"),
+                F.lit(-i).alias("prec"),        # ties → smaller code
+                F.lit(code).alias("code"),
+            )
+            for i, code in enumerate(sorted(LANG_STOPWORDS))
+        ]))
+        return (
+            F.when(best_script["hits"] > c["latin"], best_script["code"])
+            .when(best_vote["hits"] > 0, best_vote["code"])
+            .when(best_script["hits"] > 0, best_script["code"])
+            .otherwise("und")
+        )
+
+    return _let1(packed, decide)

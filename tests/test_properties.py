@@ -433,3 +433,80 @@ def test_dedup_lines_corpus_regex_meaningful_sep(spark):
     assert got["b"]["text_clean"] == "other text.tail b"
     assert got["c"]["text_clean"] == "solo c"
     assert all(r["n_lines_dropped"] == 1 for r in got.values())
+
+
+def test_lang_id_web_scale(spark):
+    """Two-stage ID: non-Latin scripts decide by character histogram
+    (kana rule splits zh/ja), Latin text by the 20-language stopword
+    vote, zero evidence → 'und'."""
+    from extractthinker_spark.functions.textstats import lang_id
+
+    rows = [
+        ("ja", "これは日本語のテキストです。漢字とかなが混ざります。"),
+        ("zh", "这是一段中文文本，完全由汉字组成，没有任何假名。"),
+        ("ko", "이것은 한국어 텍스트입니다. 한글로만 작성되었습니다."),
+        ("ru", "Это русский текст написанный кириллицей для проверки."),
+        ("ar", "هذا نص عربي مكتوب بالحروف العربية للاختبار."),
+        ("el", "Αυτό είναι ένα ελληνικό κείμενο για δοκιμή."),
+        ("hi", "यह हिंदी में लिखा गया एक परीक्षण पाठ है।"),
+        ("th", "นี่คือข้อความภาษาไทยสำหรับการทดสอบ"),
+        ("he", "זהו טקסט בעברית לבדיקה של זיהוי שפה."),
+        ("en", "the cat and the dog ran to the house that was red"),
+        ("de", "der hund und die katze sind nicht in das haus gelaufen"),
+        ("fr", "le chat est dans les jardins pour une promenade"),
+        ("es", "el perro y los gatos son una familia que corre por"),
+        ("pt", "uma casa para que eles possam morar com mais conforto nao"),
+        ("nl", "het huis van een man die niet aan zijn werk begon"),
+        ("tr", "bu bir deneme metni ve daha sonra gibi olarak devam"),
+        ("id", "ini adalah teks yang ditulis dengan bahasa untuk dari"),
+        ("und", "12345 67890 !!! ??? ###"),
+        # latin text with a FEW cjk chars stays on the vote path
+        ("en2", "the report and the data of the year 漢字 is final"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    expect = {k: k for k, _ in rows}
+    expect["en2"] = "en"
+    assert got == expect
+
+
+def test_lang_id_matches_duckdb_twin(spark):
+    """The generated DuckDB SQL and the Spark expression agree on
+    mixed-script rows (the testdata documents are Latin-heavy, so the
+    script branch needs its own cross-engine pin)."""
+    import duckdb
+
+    import __spark_entry__ as mod
+    from extractthinker_spark.functions.textstats import lang_id
+
+    rows = [
+        ("a", "日本語のかな混じりテキスト"),
+        ("b", "只有汉字的中文句子测试内容"),
+        ("c", "Привет мир это тест"),
+        ("d", "the quick brown fox and the dog"),
+        ("e", "une phrase pour le test des mots"),
+        ("f", ""),
+        ("g", "mixed 漢字 with the english and words of the test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text")).alias("pred_lang")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES {}) t(doc_id, text)"
+        .format(", ".join("(?, ?)" for _ in rows)),
+        [v for row in rows for v in row],
+    )
+    oracle = {
+        k: v for k, v in con.execute(mod._langid_sql()).fetchall()
+    }
+    assert got == oracle

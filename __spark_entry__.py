@@ -1360,6 +1360,44 @@ def _q_url_normalize(spark, sf):
     )
 
 
+def _hosted_docs(spark, sf):
+    """documents + a deterministic 7-host URL column and synthetic
+    dup/keep flags (the flags' REAL producers have their own value-
+    level queries — dedup_exact, gopher_filter; here the aggregation
+    is under test)."""
+    d = _tp(spark, sf, "documents")
+    k = F.col("doc_id")
+    return d.select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("https://Host"), (k % 7).cast("string"),
+            F.lit(".Example.org:443/p"), k.cast("string"),
+        ).alias("url"),
+        (k % 5 == 0).alias("is_dup"),
+        (k % 7 != 0).alias("keep"),
+    )
+
+
+def _q_host_stats(spark, sf):
+    """Per-host curation stats (RefinedWeb dashboard): docs, tokens,
+    dup rate, gate-reject rate by url_host — one narrow groupBy."""
+    from extractthinker_spark.functions.urls import host_stats
+
+    return host_stats(
+        _hosted_docs(spark, sf), dup_col="is_dup", keep_col="keep"
+    )
+
+
+def _q_host_cap(spark, sf):
+    """Per-domain cap: at most 10 docs per host, smallest doc_ids
+    deterministically kept."""
+    from extractthinker_spark.functions.urls import cap_per_host
+
+    return cap_per_host(
+        _hosted_docs(spark, sf).select("doc_id", "url"), 10
+    ).select("doc_id", "host")
+
+
 _URL_NORM_SQL = r"""
     WITH t AS (SELECT doc_id,
         CASE WHEN doc_id % 3 = 0 THEN
@@ -1975,6 +2013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "dedup_components": _q_dedup_components,
         "media_meta_dims": _q_media_meta_dims,
+        "host_stats": _q_host_stats,
+        "host_cap": _q_host_cap,
     }
 
 
@@ -2944,6 +2984,31 @@ def oracle_sql() -> dict[str, str]:
     sql["url_normalize"] = _URL_NORM_SQL
     sql["dedup_components"] = _DEDUP_COMPONENTS_SQL
     sql["media_meta_dims"] = _MEDIA_META_SQL
+    sql["host_stats"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 'host' || (doc_id % 7) || '.example.org' AS host,
+                 CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS is_dup,
+                 CASE WHEN doc_id % 7 <> 0 THEN 0 ELSE 1 END AS rej,
+                 {_tok_sum_sql("text")} AS tok
+          FROM documents
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               round(CAST(sum(is_dup) AS DOUBLE) / count(*), 4) AS dup_rate,
+               round(CAST(sum(rej) AS DOUBLE) / count(*), 4) AS reject_rate
+        FROM b GROUP BY host
+    """
+    sql["host_cap"] = """
+        SELECT doc_id, host FROM (
+          SELECT doc_id, host,
+                 row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id,
+                       'host' || (doc_id % 7) || '.example.org' AS host
+                FROM documents)
+        ) WHERE rn <= 10
+    """
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5
     )

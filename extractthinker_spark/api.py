@@ -262,6 +262,34 @@ class Process:
         self._documents = self._require_docs().join(keep_ids, "doc_id")
         return self
 
+    def cap_per_host(
+        self, urls: DataFrame, max_per_host: int,
+        url_col: str = "url",
+    ) -> Process:
+        """Per-domain document cap (RefinedWeb-style): given a
+        (doc_id, url) mapping, keep at most ``max_per_host`` documents
+        per host — deterministically the smallest doc_ids — so no
+        template farm dominates the corpus. The per-host keep verdict
+        is stashed as ``self.host_report`` (host, n_docs, n_kept)."""
+        from extractthinker_spark.functions.urls import cap_per_host, url_host
+
+        kept = cap_per_host(
+            urls, max_per_host, key="doc_id", url_col=url_col
+        ).select("doc_id", "host")
+        self.host_report = (
+            urls.withColumn("host", url_host(F.col(url_col)))
+            .groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+            .join(
+                kept.groupBy("host").agg(F.count(F.lit(1)).alias("n_kept")),
+                "host", "left",
+            )
+            .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        )
+        self._documents = self._require_docs().join(
+            kept.select("doc_id"), "doc_id"
+        )
+        return self
+
     def scrub_pii(self, kinds: list[str] | None = None) -> Process:
         """Redact PII (functions/pii.py patterns) in-place across every
         text-bearing span of this process's documents — span structure,

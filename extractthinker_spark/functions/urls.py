@@ -64,3 +64,82 @@ def dedup_by_url(
         F.col(key).alias("_k"), normalize_url(F.col(url_col)).alias("nurl")
     )
     return norm.groupBy("nurl").agg(F.min("_k").alias(key)).select(key, "nurl")
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str | None = "text",
+    dup_col: str | None = None,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Per-host curation dashboard (RefinedWeb §3 keeps these exact
+    statistics to pick its domain blocklists and caps): for each
+    lowercased host — document count, total token count, duplicate
+    rate and quality-gate reject rate, each rounded half-up to 4
+    places (integer sums → ONE double division → round, the
+    cross-engine float protocol from NOTES.md).
+
+    ``dup_col``/``keep_col`` are boolean columns produced upstream
+    (exact/near-dup mark, Gopher keep verdict) — pass None to skip
+    the rate. ONE groupBy on the already-narrow host string; partial
+    aggregation makes the shuffle carry one row per (partition, host).
+    """
+    from extractthinker_spark.functions.textstats import count_tokens
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ]
+    if text_col is not None:
+        aggs.append(
+            F.sum(count_tokens(F.col(text_col))).cast("long")
+            .alias("n_tokens")
+        )
+    if dup_col is not None:
+        aggs.append(F.sum(F.col(dup_col).cast("long")).alias("_dups"))
+    if keep_col is not None:
+        aggs.append(
+            F.sum((~F.col(keep_col)).cast("long")).alias("_rejects")
+        )
+    out = (
+        df.withColumn("host", url_host(F.col(url_col)))
+        .groupBy("host")
+        .agg(*aggs)
+    )
+    if dup_col is not None:
+        out = out.withColumn(
+            "dup_rate", F.round(F.col("_dups") / F.col("n_docs"), 4)
+        ).drop("_dups")
+    if keep_col is not None:
+        out = out.withColumn(
+            "reject_rate", F.round(F.col("_rejects") / F.col("n_docs"), 4)
+        ).drop("_rejects")
+    return out
+
+
+def cap_per_host(
+    df: DataFrame,
+    max_per_host: int,
+    key: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style): keep at most
+    ``max_per_host`` documents per lowercased host, deterministically
+    the smallest ``key`` values, so no single template farm dominates
+    the training mix. Input columns pass through unchanged plus
+    ``host``.
+
+    Scale shape: one hash exchange on host + within-partition sort
+    for the row_number window — Spark's sort spills, so a mega-host
+    (blogspot-scale) degrades to disk, never OOM; hosts are hashed
+    across the cluster so only the single hottest host serializes.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.col(key))
+    return (
+        df.withColumn("host", url_host(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn")
+    )

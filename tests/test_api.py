@@ -340,3 +340,53 @@ def test_process_filter_language(spark):
     }
     assert report["en1"] == ("en", True)
     assert report["de1"] == ("de", False)
+
+
+def test_host_stats_and_cap(spark):
+    """Per-host stats aggregate and the per-domain cap keep the
+    smallest doc_ids; Process.cap_per_host filters the corpus and
+    stashes the host report."""
+    from extractthinker_spark.api import Process
+    from extractthinker_spark.functions.urls import cap_per_host, host_stats
+
+    rows = [
+        (i,
+         f"https://{'Big' if i < 6 else 'small'}.Example.com:443/p{i}",
+         "word " * (i + 1),
+         i % 2 == 0,   # dup flag
+         i != 0)       # keep flag
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, is_dup boolean, "
+              "keep boolean",
+    )
+    stats = {
+        r["host"]: r
+        for r in host_stats(df, dup_col="is_dup", keep_col="keep").collect()
+    }
+    big = stats["big.example.com"]
+    assert big["n_docs"] == 6 and big["dup_rate"] == 0.5
+    assert big["reject_rate"] == round(1 / 6, 4)
+    # "word " * (i+1) = i+1 one-token chunks
+    assert big["n_tokens"] == sum(range(1, 7))
+    assert stats["small.example.com"]["n_docs"] == 2
+
+    capped = cap_per_host(df, 2)
+    kept = sorted(r["doc_id"] for r in capped.collect())
+    assert kept == [0, 1, 6, 7]  # 2 smallest per host
+    assert set(capped.columns) >= {"doc_id", "url", "host"}
+
+    docs = spark.createDataFrame(
+        [(i, [{"kind": "text", "text": "t", "media_ref": None,
+               "offset": 0}]) for i in range(8)],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    p = Process().load(docs).cap_per_host(
+        df.select("doc_id", "url"), max_per_host=2
+    )
+    assert {r["doc_id"] for r in p._require_docs().collect()} == {0, 1, 6, 7}
+    rep = {r["host"]: (r["n_docs"], r["n_kept"])
+           for r in p.host_report.collect()}
+    assert rep == {"big.example.com": (6, 2), "small.example.com": (2, 2)}

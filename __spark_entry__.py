@@ -188,6 +188,29 @@ def _q_winnow(spark, sf):
     return winnow_overlap_pairs(dd, "doc_id", "text", min_shared=40)
 
 
+def _q_substring_dup(spark, sf):
+    """Exact-substring dedup (suffix-array layer): planted 80-char
+    cross-doc slices (base docs < 100; docs < 10 re-emitted as
+    'zzhdr ' + slice + ' zztail') must surface as merged dup spans
+    in BOTH the source and the plant."""
+    from extractthinker_spark.operators.dedup import substring_dup_spans
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("zzhdr "), F.substring("text", 21, 80), F.lit(" zztail")
+        ).alias("text"),
+    )
+    return substring_dup_spans(
+        d.unionByName(planted), min_len=40, max_extend=200
+    )
+
+
 def _q_langid(spark, sf):
     d = _tp(spark, sf, "documents")
     return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
@@ -2015,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_dims": _q_media_meta_dims,
         "host_stats": _q_host_stats,
         "host_cap": _q_host_cap,
+        "substring_dup_spans": _q_substring_dup,
     }
 
 
@@ -2376,6 +2400,95 @@ def _ivf_sql(
         f" FROM scored) WHERE rnk <= {k}",
     ]
     return "\n".join(parts)
+
+
+def _substring_dup_sql(
+    k: int = 16, window: int = 8, cap: int = 1000,
+    max_extend: int = 200, min_len: int = 40,
+) -> str:
+    """Full DuckDB replay of dedup.substring_dup_spans on the planted
+    corpus: positional winnow anchors (same mod-2^31-1 hash, same
+    first-min tie-break as the numpy path), df-capped posting
+    self-join, one extension per (a, b, diagonal) via the
+    first-mismatch list trick, per-doc interval merge."""
+    W, K = window, k
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT doc_id + 100000,
+                 'zzhdr ' || substring(text, 21, 80) || ' zztail'
+          FROM documents WHERE doc_id < 10),
+        h AS (SELECT doc_id, text,
+              list_transform(
+                generate_series(1, greatest(length(text) - {K - 1}, 1)),
+                i -> list_reduce(
+                       list_transform(generate_series(0, {K - 1}),
+                         j -> greatest(ord(substring(text, i + j, 1)),
+                                       0)::BIGINT),
+                       (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+              FROM docs),
+        p0 AS (SELECT doc_id,
+                      i - 1 + list_position(hs[i:i+{W - 1}],
+                        list_aggregate(hs[i:i+{W - 1}], 'min')) AS pos,
+                      list_aggregate(hs[i:i+{W - 1}], 'min') AS f
+               FROM h,
+                    unnest(generate_series(1, greatest(len(hs) - {W - 1},
+                                                       1))) AS t(i)),
+        p AS (SELECT DISTINCT doc_id, pos, f FROM p0),
+        pc AS (SELECT * FROM p WHERE f IN
+                 (SELECT f FROM p GROUP BY f HAVING count(*) <= {cap})),
+        cand AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, l.pos - r.pos AS diag,
+                 min(l.pos) AS pa
+          FROM pc l JOIN pc r ON l.f = r.f AND l.doc_id < r.doc_id
+          GROUP BY 1, 2, 3),
+        ext AS (
+          SELECT a, b, pa, pa - diag AS pb, ta.text AS ta, tb.text AS tb
+          FROM cand JOIN docs ta ON ta.doc_id = a
+                    JOIN docs tb ON tb.doc_id = b),
+        lim AS (
+          SELECT a, b, pa, pb, ta, tb,
+            least(length(ta) - pa + 1, length(tb) - pb + 1,
+                  {max_extend}) AS nr,
+            least(pa - 1, pb - 1, {max_extend}) AS nl
+          FROM ext),
+        cx AS (
+          SELECT a, b, pa, pb,
+            CASE WHEN nr <= 0 THEN 0 ELSE
+              coalesce(nullif(list_position(list_transform(
+                generate_series(1, nr),
+                i -> substring(ta, pa + i - 1, 1)
+                     = substring(tb, pb + i - 1, 1)), false), 0) - 1,
+                nr) END AS cr,
+            CASE WHEN nl <= 0 THEN 0 ELSE
+              coalesce(nullif(list_position(list_transform(
+                generate_series(1, nl),
+                i -> substring(ta, pa - i, 1)
+                     = substring(tb, pb - i, 1)), false), 0) - 1,
+                nl) END AS cl
+          FROM lim),
+        sp AS (
+          SELECT a AS doc_id, pa - cl AS s, pa + cr AS e
+          FROM cx WHERE cl + cr >= {min_len}
+          UNION
+          SELECT b, pb - cl, pb + cr FROM cx WHERE cl + cr >= {min_len}),
+        mg AS (
+          SELECT doc_id, s, e,
+            max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pe
+          FROM sp),
+        gr AS (
+          SELECT doc_id, s, e,
+            sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS g
+          FROM mg)
+        SELECT doc_id, CAST(min(s) AS BIGINT) AS dup_start,
+               CAST(max(e) AS BIGINT) AS dup_end
+        FROM gr GROUP BY doc_id, g
+    """
 
 
 def _tok_sum_sql(expr: str) -> str:
@@ -3000,6 +3113,7 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(rej) AS DOUBLE) / count(*), 4) AS reject_rate
         FROM b GROUP BY host
     """
+    sql["substring_dup_spans"] = _substring_dup_sql()
     sql["host_cap"] = """
         SELECT doc_id, host FROM (
           SELECT doc_id, host,

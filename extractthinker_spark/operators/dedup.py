@@ -847,3 +847,208 @@ def dedup_near_canonical(
         (F.coalesce(F.col("comp"), F.col(key)) == F.col(key))
         .alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (suffix-array layer, bucketed anchors)
+# --------------------------------------------------------------------------
+# The third dedup layer after doc-exact and near-dup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): find
+# CROSS-document repeated substrings >= min_len chars. The suffix-array
+# construction doesn't distribute; the equivalent bucketed shape does:
+# positional winnow anchors -> df-capped posting self-join on the
+# 8-byte hash -> extend-and-verify at each candidate diagonal ->
+# per-doc interval merge. The winnowing coverage theorem guarantees
+# every repeat of length >= k + window - 1 shares an anchor at the
+# SAME offset inside the match, so extension recovers the maximal
+# span exactly (hash collisions die in the verify step: extension
+# compares real characters).
+
+
+def substring_anchor_fps(
+    text_col: Column, k: int = 16, window: int = 8
+) -> Column:
+    """array<struct<pos:long,f:long>> positional winnow anchors over
+    the RAW text (exact-substring semantics — no normalization): the
+    polynomial k-gram hash (same arithmetic as rolling_hashes) at each
+    window minimum, with its 1-based character position; first-min
+    tie-break; distinct (pos, f). numpy in one Arrow batch — all
+    integer mod 2^31-1, so the DuckDB twin is bit-exact."""
+    powers = np.array(
+        [pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)],
+        dtype=np.int64,
+    )
+
+    def anchors_of(text: str | None) -> list[tuple[int, int]]:
+        t = text or ""
+        codes = np.frombuffer(
+            t.encode("utf-32-le"), dtype="<u4"
+        ).astype(np.int64)
+        if len(codes) < k:
+            codes = np.pad(codes, (0, k - len(codes)))
+        wins = np.lib.stride_tricks.sliding_window_view(codes, k)
+        hashes = (wins * powers).sum(axis=1) % _WINNOW_MOD
+        if len(hashes) >= window:
+            sw = np.lib.stride_tricks.sliding_window_view(hashes, window)
+            arg = sw.argmin(axis=1)  # first min, matching list_position
+            pos = np.arange(len(arg)) + arg
+        else:
+            pos = np.array([int(hashes.argmin())])
+        pairs = {(int(p) + 1, int(hashes[p])) for p in pos}
+        return sorted(pairs)
+
+    @F.pandas_udf("array<struct<pos: long, f: long>>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        return pd.Series([anchors_of(t) for t in texts])
+
+    return _fps(text_col)
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    k: int = 16,
+    window: int = 8,
+    max_doc_freq: int = 1000,
+    max_extend: int = 500,
+    return_stats: bool = False,
+):
+    """(key, dup_start, dup_end) — maximal substrings of length >=
+    ``min_len`` (capped at anchor±``max_extend``) that appear in at
+    least one OTHER document, as merged half-open 1-based char
+    intervals per document. Requires ``min_len >= k + window - 1``
+    for the winnowing coverage guarantee.
+
+    Scale shape: anchors are ~1/window of positions (narrow map);
+    ONE posting shuffle on the 8-byte hash with the df-cap applied
+    before the self-join (quadratic-bucket guard — same rule as the
+    MinHash band cap, audited via ``return_stats``); candidates
+    collapse to one per (a, b, diagonal) BEFORE extension, so a long
+    repeat costs one verify, not one per anchor; extension is an
+    Arrow batch with early exit; the interval merge is a per-doc
+    window scan. Nothing driver-side.
+
+    ``return_stats=True`` returns (spans, stats) where stats is one
+    row per capped anchor hash (f, posting_rows) — the exact coverage
+    the cap dropped; never a silent recall loss."""
+    if min_len < k + window - 1:
+        raise ValueError(
+            f"min_len={min_len} below the winnowing guarantee "
+            f"k+window-1={k + window - 1}: repeats shorter than the "
+            "guarantee can be missed silently"
+        )
+    texts = df.select(
+        F.col(key).alias("_k"), F.col(text_col).alias("_t")
+    )
+    posting = texts.select(
+        "_k",
+        F.explode(
+            substring_anchor_fps(F.col("_t"), k=k, window=window)
+        ).alias("a"),
+    ).select("_k", F.col("a.pos").alias("pos"), F.col("a.f").alias("f"))
+    if return_stats:
+        stats = (
+            posting.groupBy("f")
+            .agg(F.count(F.lit(1)).alias("posting_rows"))
+            .filter(F.col("posting_rows") > max_doc_freq)
+        )
+    capped = cap_posting_df(posting, "f", max_doc_freq)
+    cand = (
+        capped.alias("l")
+        .join(
+            capped.alias("r"),
+            (F.col("l.f") == F.col("r.f")) & (F.col("l._k") < F.col("r._k")),
+        )
+        .groupBy(
+            F.col("l._k").alias("a"),
+            F.col("r._k").alias("b"),
+            (F.col("l.pos") - F.col("r.pos")).alias("diag"),
+        )
+        .agg(F.min(F.col("l.pos")).alias("pa"))
+        .select(
+            "a", "b", "pa", (F.col("pa") - F.col("diag")).alias("pb")
+        )
+    )
+    with_texts = (
+        cand.join(texts.select(F.col("_k").alias("a"),
+                               F.col("_t").alias("ta")), "a")
+        .join(texts.select(F.col("_k").alias("b"),
+                           F.col("_t").alias("tb")), "b")
+    )
+
+    cap = max_extend
+
+    @F.pandas_udf("struct<cl: long, cr: long>")
+    def _extend(ta: pd.Series, tb: pd.Series, pa: pd.Series,
+                pb: pd.Series) -> pd.DataFrame:
+        cls, crs = [], []
+        for xa, xb, qa, qb in zip(ta, tb, pa, pb):
+            ia, ib = int(qa) - 1, int(qb) - 1
+            nr = min(len(xa) - ia, len(xb) - ib, cap)
+            cr = 0
+            while cr < nr and xa[ia + cr] == xb[ib + cr]:
+                cr += 1
+            nl = min(ia, ib, cap)
+            cl = 0
+            while cl < nl and xa[ia - 1 - cl] == xb[ib - 1 - cl]:
+                cl += 1
+            cls.append(cl)
+            crs.append(cr)
+        return pd.DataFrame({"cl": cls, "cr": crs})
+
+    matched = (
+        with_texts.withColumn(
+            "_e", _extend(F.col("ta"), F.col("tb"), F.col("pa"),
+                          F.col("pb"))
+        )
+        .select(
+            "a", "b", "pa", "pb",
+            F.col("_e.cl").alias("cl"), F.col("_e.cr").alias("cr"),
+        )
+        .filter(F.col("cl") + F.col("cr") >= min_len)
+    )
+    spans = (
+        matched.select(
+            F.col("a").alias("_k"),
+            (F.col("pa") - F.col("cl")).alias("s"),
+            (F.col("pa") + F.col("cr")).alias("e"),
+        )
+        .unionByName(
+            matched.select(
+                F.col("b").alias("_k"),
+                (F.col("pb") - F.col("cl")).alias("s"),
+                (F.col("pb") + F.col("cr")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy("_k").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("_k").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        spans.withColumn("_pe", F.max("e").over(w_prev))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_pe").isNull() | (F.col("s") > F.col("_pe")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_g", F.sum("_brk").over(w_run))
+        .groupBy("_k", "_g")
+        .agg(F.min("s").alias("dup_start"), F.max("e").alias("dup_end"))
+        .select(
+            F.col("_k").alias(key),
+            F.col("dup_start").cast("long").alias("dup_start"),
+            F.col("dup_end").cast("long").alias("dup_end"),
+        )
+    )
+    if return_stats:
+        return merged, stats
+    return merged

@@ -243,3 +243,63 @@ def test_connected_components_nonconvergence_audited(spark):
         _w.simplefilter("always")
         connected_components(chain, max_iters=10).collect()
     assert not any("did not converge" in str(c.message) for c in caught)
+
+
+def test_substring_dup_spans_planted(spark):
+    """Exact-substring layer: a shared 60-char region between two docs
+    surfaces as the maximal span on both sides; overlapping matches
+    from a third doc merge into one interval; unique docs are absent;
+    min_len below the winnowing guarantee raises."""
+    import pytest
+
+    from extractthinker_spark.operators.dedup import substring_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert len(shared) == 56
+    rows = [
+        (1, f"AAA {shared} BBB"),                       # span 5..61
+        (2, f"CCCCCC {shared} DD"),                     # span 8..64
+        # doc 3 shares a shifted sub-window with doc 1 only via the
+        # same text -> same interval after merge on doc 1's side
+        (3, f"x {shared} y"),
+        (4, "completely unrelated text with no repeats of that size"
+            " and some more words to pass the length bar"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["dup_start"], r["dup_end"])
+        for r in substring_dup_spans(
+            df, min_len=40, max_extend=100
+        ).collect()
+    }
+    # 1-based inclusive start, exclusive end; the maximal match is
+    # " <shared> " — every doc flanks the region with spaces, so the
+    # extension picks up one char each side (58 = 56 + 2)
+    assert (1, 4, 4 + len(shared) + 2) in got
+    assert (2, 7, 7 + len(shared) + 2) in got
+    assert (3, 2, 2 + len(shared) + 2) in got
+    assert not any(d == 4 for d, _, _ in got)
+    assert len(got) == 3  # one merged interval per sharing doc
+
+    with pytest.raises(ValueError, match="winnowing guarantee"):
+        substring_dup_spans(df, min_len=10)
+
+
+def test_substring_dup_cap_audit(spark):
+    """The anchor df-cap is audited, never silent: a hash shared by
+    more docs than the cap shows up in the stats frame and its
+    candidates are dropped."""
+    from extractthinker_spark.operators.dedup import substring_dup_spans
+
+    boiler = "this exact boilerplate sentence appears everywhere today"
+    rows = [(i, f"doc {i} prefix {boiler} suffix {i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans, stats = substring_dup_spans(
+        df, min_len=40, max_doc_freq=4, return_stats=True
+    )
+    dropped = stats.collect()
+    assert dropped, "hot anchors must be reported"
+    assert all(r["posting_rows"] > 4 for r in dropped)
+    # uncapped, the boilerplate IS found
+    spans_ok = substring_dup_spans(df, min_len=40, max_doc_freq=100)
+    assert spans_ok.count() == 9

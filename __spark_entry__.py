@@ -1876,6 +1876,45 @@ _PDF_TREE_SQL = rf"""
 """
 
 
+def _q_pdf_encoding_spans(spark, sf):
+    """Simple-font /Encoding + /Differences decode, value-level:
+    by-construction PDFs whose page text is shown as single-byte
+    codes 128+ that ONLY the font dict's /Differences array (uniXXXX
+    glyph names) maps back; odd doc_ids add FlateDecode. The oracle
+    replays the by-construction page text (the invertible-construction
+    pattern, NOTES.md)."""
+    from extractthinker_spark.operators.parse_core import strip_page_header
+    from extractthinker_spark.operators.rawbytes import (
+        make_fixture_pdf_tree,
+        parse_raw_bytes,
+    )
+
+    base = _raw_two_page_base(spark, sf).withColumn(
+        "z", F.col("doc_id").cast("long") % 2 == 1
+    )
+
+    def build(batches):
+        for pdf in batches:
+            pdf = pdf.assign(raw=[
+                make_fixture_pdf_tree(
+                    [l1, l2], encoding_diff=True, compress=bool(z),
+                    scramble=True,
+                )
+                for l1, l2, z in zip(pdf["l1"], pdf["l2"], pdf["z"])
+            ])
+            yield pdf[["doc_id", "raw"]]
+
+    raw = base.mapInPandas(build, schema="doc_id string, raw binary")
+    parsed = parse_raw_bytes(raw)
+    return parsed.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s.offset") + 1).alias("page_no"),
+        strip_page_header(F.col("s.text")).alias("content"),
+    )
+
+
 def _q_media_meta_dims(spark, sf):
     """Header-level media metadata, value-level: minimal PNG bytes
     (signature + IHDR) with width/height derived from doc_id; the REAL
@@ -2039,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "host_cap": _q_host_cap,
         "substring_dup_spans": _q_substring_dup,
+        "pdf_encoding_spans": _q_pdf_encoding_spans,
     }
 
 
@@ -3114,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         FROM b GROUP BY host
     """
     sql["substring_dup_spans"] = _substring_dup_sql()
+    sql["pdf_encoding_spans"] = _PDF_TREE_SQL
     sql["host_cap"] = """
         SELECT doc_id, host FROM (
           SELECT doc_id, host,

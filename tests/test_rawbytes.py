@@ -868,3 +868,53 @@ def test_pdf_mixed_width_cmap_latin1_fallback():
     assert _pdf_hex_string(b"486921", loose_cmap) == "Hi!"
     # non-strict unmapped 2-byte code keeps the replacement-char path
     assert _pdf_hex_string(b"0102FFFF", loose_cmap) == "A�"
+
+
+def test_pdf_encoding_differences():
+    """Simple-font /Encoding decode (PDF 32000-1 §9.6.6, Annex D):
+    /Differences arrays with uniXXXX glyph names remap single-byte
+    show codes; a named WinAnsi base encoding fixes the cp1252
+    0x80-0x9F block (smart quotes) a Latin-1 decode mangles; the AGL
+    subset resolves typographic and accented names."""
+    from extractthinker_spark.operators.rawbytes import (
+        _glyph_to_unicode,
+        _pdf_collect_encoding,
+        decode_pdf_pages,
+        make_fixture_pdf_tree,
+    )
+
+    pages = ["Café — “quote” test", "line € two ﬁne ©2024"]
+    for compress in (False, True):
+        pdf = make_fixture_pdf_tree(
+            pages, encoding_diff=True, compress=compress
+        )
+        assert decode_pdf_pages(pdf) == pages, compress
+    # named glyph Differences (not uniXXXX): emdash/eacute/fi
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Font /Encoding "
+        b"<< /Differences [ 200 /emdash /eacute /fi ] >> >>\nendobj\n"
+        b"BT (a \310b\311c\312) Tj ET\n%%EOF"
+    )
+    assert decode_pdf_pages(raw) == ["a —bécﬁ"]
+    # bare /Encoding /WinAnsiEncoding: 0x93/0x94 -> curly quotes
+    win = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Font /Encoding /WinAnsiEncoding "
+        b">>\nendobj\nBT (a \x93q\x94 \x85) Tj ET\n%%EOF"
+    )
+    assert decode_pdf_pages(win) == ["a “q” …"]
+    # MacRoman upper half
+    mac = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Font /Encoding "
+        b"/MacRomanEncoding >>\nendobj\nBT (caf\x8e) Tj ET\n%%EOF"
+    )
+    assert decode_pdf_pages(mac) == ["café"]
+    # no /Encoding anywhere -> no overrides, Latin-1 identity
+    assert _pdf_collect_encoding(b"%PDF-1.4 BT (x) Tj ET") is None
+    # AGL resolution branches
+    assert _glyph_to_unicode("quotedblleft") == "“"
+    assert _glyph_to_unicode("eacute") == "é"
+    assert _glyph_to_unicode("Ccedilla") == "Ç"
+    assert _glyph_to_unicode("uni20AC") == "€"
+    assert _glyph_to_unicode("u1F600") == "\U0001F600"
+    assert _glyph_to_unicode("A") == "A"
+    assert _glyph_to_unicode("bogusname") is None

@@ -910,9 +910,150 @@ def _pdf_string_bytes(body: bytes, name: bytes) -> bytes | None:
     return None
 
 
-def _pdf_file_key(enc: bytes, id0: bytes) -> bytes | None:
-    """Algorithm 2 file key for the EMPTY user password (R=2/3 RC4
-    handlers). None for unsupported revisions (AES, user-password)."""
+# --- pure-python AES-128 (FIPS-197; the sandbox has no crypto lib) --
+# Used only for the PDF AESV2 crypt filter — per-document, off every
+# hot path. Tables are generated from the GF(2^8) arithmetic rather
+# than pasted.
+
+def _aes_xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _aes_gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = _aes_xtime(a)
+        b >>= 1
+    return p
+
+
+def _aes_build_sbox() -> tuple[list[int], list[int]]:
+    exp, log = [0] * 512, [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i], log[x] = x, i
+        x ^= _aes_xtime(x)  # multiply by generator 3
+    for i in range(255, 512):
+        exp[i] = exp[i - 255]
+    sbox = [0] * 256
+    for i in range(256):
+        inv = 0 if i == 0 else exp[255 - log[i]]
+        c = s = inv
+        for _ in range(4):
+            c = ((c << 1) | (c >> 7)) & 0xFF
+            s ^= c
+        sbox[i] = s ^ 0x63
+    inv_sbox = [0] * 256
+    for i, v in enumerate(sbox):
+        inv_sbox[v] = i
+    return sbox, inv_sbox
+
+
+_AES_SBOX, _AES_INV_SBOX = _aes_build_sbox()
+
+
+def _aes_key_schedule(key: bytes) -> list[int]:
+    rk = list(key)
+    rcon = 1
+    while len(rk) < 176:
+        t = rk[-4:]
+        if len(rk) % 16 == 0:
+            t = [
+                _AES_SBOX[t[1]] ^ rcon, _AES_SBOX[t[2]],
+                _AES_SBOX[t[3]], _AES_SBOX[t[0]],
+            ]
+            rcon = _aes_xtime(rcon)
+        rk += [rk[-16 + i] ^ t[i] for i in range(4)]
+    return rk
+
+
+def _aes_shift_rows(s: list[int]) -> list[int]:
+    # column-major state: index = row + 4*col; row r rotates left by r
+    return [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+
+
+def _aes_inv_shift_rows(s: list[int]) -> list[int]:
+    return [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+
+
+def _aes_mix_columns(s: list[int], inv: bool = False) -> list[int]:
+    coef = (14, 11, 13, 9) if inv else (2, 3, 1, 1)
+    out = [0] * 16
+    for c in range(4):
+        col = s[4 * c : 4 * c + 4]
+        for r in range(4):
+            out[4 * c + r] = (
+                _aes_gmul(col[r], coef[0])
+                ^ _aes_gmul(col[(r + 1) % 4], coef[1])
+                ^ _aes_gmul(col[(r + 2) % 4], coef[2])
+                ^ _aes_gmul(col[(r + 3) % 4], coef[3])
+            )
+    return out
+
+
+def _aes_encrypt_block(rk: list[int], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[:16])]
+    for rnd in range(1, 10):
+        s = [_AES_SBOX[x] for x in s]
+        s = _aes_shift_rows(s)
+        s = _aes_mix_columns(s)
+        s = [x ^ k for x, k in zip(s, rk[16 * rnd : 16 * rnd + 16])]
+    s = [_AES_SBOX[x] for x in s]
+    s = _aes_shift_rows(s)
+    return bytes(x ^ k for x, k in zip(s, rk[160:176]))
+
+
+def _aes_decrypt_block(rk: list[int], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[160:176])]
+    s = _aes_inv_shift_rows(s)
+    s = [_AES_INV_SBOX[x] for x in s]
+    for rnd in range(9, 0, -1):
+        s = [x ^ k for x, k in zip(s, rk[16 * rnd : 16 * rnd + 16])]
+        s = _aes_mix_columns(s, inv=True)
+        s = _aes_inv_shift_rows(s)
+        s = [_AES_INV_SBOX[x] for x in s]
+    return bytes(x ^ k for x, k in zip(s, rk[:16]))
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 stream payload: 16-byte IV prefix, CBC body, PKCS#7
+    padding stripped. Truncated/short payloads decrypt to b''."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    rk = _aes_key_schedule(key)
+    iv, out = data[:16], bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        pt = _aes_decrypt_block(rk, blk)
+        out += bytes(x ^ y for x, y in zip(pt, iv))
+        iv = blk
+    pad = out[-1]
+    if 1 <= pad <= 16:
+        del out[-pad:]
+    return bytes(out)
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    rk = _aes_key_schedule(key)
+    out, prev = bytearray(iv), iv
+    for i in range(0, len(data), 16):
+        blk = bytes(
+            x ^ y for x, y in zip(data[i : i + 16], prev)
+        )
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
+def _pdf_file_key(enc: bytes, id0: bytes) -> tuple[bytes, str] | None:
+    """(Algorithm 2 file key, cipher) for the EMPTY user password:
+    R=2/3 RC4 and R=4 crypt-filter handlers ('rc4' | 'aes' — AESV2).
+    None for unsupported revisions (R>=5 AESV3 / user-password)."""
     import hashlib
 
     fm = re.search(rb"/Filter\s*/Standard\b", enc)
@@ -922,8 +1063,9 @@ def _pdf_file_key(enc: bytes, id0: bytes) -> bytes | None:
     if not (fm and rm and o and pm):
         return None
     r = int(rm.group(1))
-    if r not in (2, 3):
-        return None  # R>=4 (AES / crypt filters): out of subset
+    if r not in (2, 3, 4):
+        return None  # R>=5 (AESV3, SHA-256 handlers): out of subset
+    cipher = "aes" if (r == 4 and rb"/AESV2" in enc) else "rc4"
     lm = re.search(rb"/Length\s+(\d+)", enc)
     keylen = 5 if r == 2 else (int(lm.group(1)) // 8 if lm else 5)
     p = int(pm.group(1)) & 0xFFFFFFFF
@@ -933,16 +1075,27 @@ def _pdf_file_key(enc: bytes, id0: bytes) -> bytes | None:
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:keylen]).digest()
-    return h[:keylen]
+    return h[:keylen], cipher
+
+
+def _pdf_object_key(key: bytes, num: int, cipher: str) -> bytes:
+    """Algorithm 1 per-object key: md5(file_key + objnum_le24 +
+    gen_le16 [+ 'sAlT' for AESV2]) truncated to len(key)+5, max 16."""
+    import hashlib
+
+    extra = b"sAlT" if cipher == "aes" else b""
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + (0).to_bytes(2, "little") + extra
+    ).digest()[: min(len(key) + 5, 16)]
 
 
 def _pdf_decrypt(b: bytes) -> bytes:
-    """RC4-decrypt every stream payload in place (length-preserving)
-    when the document carries a supported /Encrypt dict; otherwise the
-    input is returned untouched. Per-object key = Algorithm 1:
-    md5(file_key + objnum_le24 + gen_le16) truncated."""
-    import hashlib
-
+    """Decrypt every stream payload when the document carries a
+    supported /Encrypt dict (RC4 R=2/3, AES-128 AESV2 R=4 — both
+    empty-user-password standard handlers); otherwise the input is
+    returned untouched. RC4 is length-preserving; AES payloads shrink
+    (IV + padding), so the document is re-spliced rather than patched
+    in place."""
     em = _PDF_ENCRYPT_REF_RE.search(b)
     if not em:
         return b
@@ -956,10 +1109,11 @@ def _pdf_decrypt(b: bytes) -> bytes:
         return b
     idm = _PDF_ID_RE.search(b)
     id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
-    key = _pdf_file_key(enc_body, id0)
-    if key is None:
+    fk = _pdf_file_key(enc_body, id0)
+    if fk is None:
         return b
-    out = bytearray(b)
+    key, cipher = fk
+    splices: list[tuple[int, int, bytes]] = []
     for m in _PDF_OBJ_RE.finditer(b):
         num = int(m.group(1))
         if num == enc_num:
@@ -967,41 +1121,63 @@ def _pdf_decrypt(b: bytes) -> bytes:
         sm = _PDF_STREAM_RE.search(m.group(2))
         if not sm:
             continue
-        okey = hashlib.md5(
-            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
-        ).digest()[: min(len(key) + 5, 16)]
+        okey = _pdf_object_key(key, num, cipher)
+        plain = (
+            _aes_cbc_decrypt(okey, sm.group(2))
+            if cipher == "aes" else _rc4(okey, sm.group(2))
+        )
         start = m.start(2) + sm.start(2)
-        out[start : start + len(sm.group(2))] = _rc4(okey, sm.group(2))
+        splices.append((start, start + len(sm.group(2)), plain))
+    out, pos = bytearray(), 0
+    for start, end, plain in splices:
+        out += b[pos:start] + plain
+        pos = end
+    out += b[pos:]
     return bytes(out)
 
 
-def encrypt_fixture_pdf(b: bytes, key_bits: int = 128) -> bytes:
-    """Wrap a fixture PDF in the standard RC4 security handler (empty
-    user password): every stream payload RC4'd with its per-object key
-    (RC4 is symmetric, so the decryptor inverts it exactly), plus the
-    /Encrypt dict object and a trailer carrying /Encrypt and /ID."""
+def encrypt_fixture_pdf(
+    b: bytes, key_bits: int = 128, aes: bool = False
+) -> bytes:
+    """Wrap a fixture PDF in the standard security handler (empty user
+    password): every stream payload encrypted with its per-object key
+    — RC4 (R=2/3) or, with ``aes``, AES-128-CBC under the AESV2 crypt
+    filter (V=4 R=4, deterministic per-object IV so fixtures are
+    byte-stable) — plus the /Encrypt dict object and a trailer
+    carrying /Encrypt and /ID."""
     import hashlib
 
     enc_num = 9000
-    r = 2 if key_bits == 40 else 3
     o_bytes = hashlib.md5(b"fixture-owner-key").digest() * 2  # 32 bytes
     id0 = hashlib.md5(b"fixture-id").digest()
-    enc_body = (
-        b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> "
-        b"/U <%s> /P -44 >>"
-        % (
-            1 if r == 2 else 2, r, key_bits,
-            o_bytes.hex().encode("ascii"),
-            (b"\0" * 32).hex().encode("ascii"),
+    if aes:
+        enc_body = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P -44 >>"
+            % (
+                o_bytes.hex().encode("ascii"),
+                (b"\0" * 32).hex().encode("ascii"),
+            )
         )
-    )
+    else:
+        r = 2 if key_bits == 40 else 3
+        enc_body = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> "
+            b"/U <%s> /P -44 >>"
+            % (
+                1 if r == 2 else 2, r, key_bits,
+                o_bytes.hex().encode("ascii"),
+                (b"\0" * 32).hex().encode("ascii"),
+            )
+        )
     fake = (
         b + b"%d 0 obj\n" % enc_num + enc_body + b"\nendobj\n"
         + b"trailer\n<< /Encrypt %d 0 R /ID [<%s> <%s>] >>\n"
         % (enc_num, id0.hex().encode("ascii"), id0.hex().encode("ascii"))
     )
-    key = _pdf_file_key(enc_body, id0)
-    out = bytearray(fake)
+    key, cipher = _pdf_file_key(enc_body, id0)
+    splices: list[tuple[int, int, bytes]] = []
     for m in _PDF_OBJ_RE.finditer(fake):
         num = int(m.group(1))
         if num == enc_num:
@@ -1009,11 +1185,19 @@ def encrypt_fixture_pdf(b: bytes, key_bits: int = 128) -> bytes:
         sm = _PDF_STREAM_RE.search(m.group(2))
         if not sm:
             continue
-        okey = hashlib.md5(
-            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
-        ).digest()[: min(len(key) + 5, 16)]
+        okey = _pdf_object_key(key, num, cipher)
+        if cipher == "aes":
+            iv = hashlib.md5(b"fixture-iv-%d" % num).digest()
+            ct = _aes_cbc_encrypt(okey, iv, sm.group(2))
+        else:
+            ct = _rc4(okey, sm.group(2))
         start = m.start(2) + sm.start(2)
-        out[start : start + len(sm.group(2))] = _rc4(okey, sm.group(2))
+        splices.append((start, start + len(sm.group(2)), ct))
+    out, pos = bytearray(), 0
+    for start, end, ct in splices:
+        out += fake[pos:start] + ct
+        pos = end
+    out += fake[pos:]
     return bytes(out)
 
 

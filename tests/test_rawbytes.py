@@ -918,3 +918,46 @@ def test_pdf_encoding_differences():
     assert _glyph_to_unicode("u1F600") == "\U0001F600"
     assert _glyph_to_unicode("A") == "A"
     assert _glyph_to_unicode("bogusname") is None
+
+
+def test_pdf_aes128_decrypt():
+    """AES-128 AESV2 crypt filter (PDF 32000-1 §7.6.2-7.6.3, R=4,
+    empty user password): FIPS-197 known-answer block, CBC round
+    trips, and transparent decode of AES-encrypted fixture PDFs —
+    flat and tree-structured, compressed; AESV3 (R>=5) still
+    degrades to no-decrypt without raising."""
+    from extractthinker_spark.operators.rawbytes import (
+        _aes_cbc_decrypt,
+        _aes_cbc_encrypt,
+        _aes_encrypt_block,
+        _aes_key_schedule,
+        decode_pdf_pages,
+        encrypt_fixture_pdf,
+        make_fixture_pdf,
+        make_fixture_pdf_tree,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _aes_encrypt_block(_aes_key_schedule(key), pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    for payload in (b"", b"x", b"a" * 16, b"var-len payload .."):
+        enc = _aes_cbc_encrypt(key, bytes(16), payload)
+        assert _aes_cbc_decrypt(key, enc) == payload
+
+    pages = ["page one text here", "tail: page two text"]
+    for blob in (
+        make_fixture_pdf(pages, compress=True),
+        make_fixture_pdf_tree(pages, compress=True),
+        make_fixture_pdf_tree(pages, compress=False, hex_strings=True),
+    ):
+        enc = encrypt_fixture_pdf(blob, aes=True)
+        assert enc != blob
+        assert decode_pdf_pages(enc) == pages
+    # R=5 (AESV3) stays out of subset: no decrypt, no raise
+    aes3 = (
+        make_fixture_pdf(pages, compress=True)
+        + b"5000 0 obj\n<< /Filter /Standard /R 5 /O <00> /P -44 >>\n"
+          b"endobj\ntrailer\n<< /Encrypt 5000 0 R >>\n"
+    )
+    decode_pdf_pages(aes3)  # must not raise

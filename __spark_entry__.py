@@ -1915,6 +1915,53 @@ def _q_pdf_encoding_spans(spark, sf):
     )
 
 
+def _q_jpeg_dc_features(spark, sf):
+    """Real JPEG luminance, value-level (invertible construction):
+    per-doc 4x6 block-mean grids from a doc_id formula, encoded as
+    baseline JPEGs (layout varies: grayscale / 3-component 4:4:4 /
+    4:2:0 / restart intervals by doc_id), entropy-decoded back by
+    decode_jpeg_dc_luminance inside mapInPandas; the oracle replays
+    the formula (decode(encode(x)) == x — NOTES.md pattern)."""
+    import numpy as np
+
+    from extractthinker_spark.operators.media import (
+        decode_jpeg_dc_luminance,
+        make_fixture_jpeg,
+    )
+
+    d = _tp(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                k = int(k)
+                bm = np.array(
+                    [[(k * 7 + r * 31 + c * 13) % 256 for c in range(6)]
+                     for r in range(4)]
+                )
+                jpg = make_fixture_jpeg(
+                    bm,
+                    components=3 if k % 2 else 1,
+                    subsample=(k % 3 == 0),
+                    restart=3 if k % 5 == 0 else 0,
+                )
+                grid = decode_jpeg_dc_luminance(jpg)
+                rows.append(
+                    (str(k), int(grid.sum()), int(grid.min()),
+                     int(grid.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lum_sum", "lum_min", "lum_max"],
+            )
+
+    return d.mapInPandas(
+        build,
+        "doc_id string, lum_sum long, lum_min long, lum_max long",
+    )
+
+
 def _q_media_meta_dims(spark, sf):
     """Header-level media metadata, value-level: minimal PNG bytes
     (signature + IHDR) with width/height derived from doc_id; the REAL
@@ -2079,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": _q_host_cap,
         "substring_dup_spans": _q_substring_dup,
         "pdf_encoding_spans": _q_pdf_encoding_spans,
+        "jpeg_dc_features": _q_jpeg_dc_features,
     }
 
 
@@ -3155,6 +3203,19 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["substring_dup_spans"] = _substring_dup_sql()
     sql["pdf_encoding_spans"] = _PDF_TREE_SQL
+    sql["jpeg_dc_features"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 flatten(list_transform(generate_series(0, 3),
+                   r -> list_transform(generate_series(0, 5),
+                     c -> (doc_id * 7 + r * 31 + c * 13) % 256))) AS vals
+          FROM documents)
+        SELECT doc_id::VARCHAR AS doc_id,
+               CAST(list_sum(vals) AS BIGINT) AS lum_sum,
+               CAST(list_aggregate(vals, 'min') AS BIGINT) AS lum_min,
+               CAST(list_aggregate(vals, 'max') AS BIGINT) AS lum_max
+        FROM g
+    """
     sql["host_cap"] = """
         SELECT doc_id, host FROM (
           SELECT doc_id, host,

@@ -294,3 +294,54 @@ def test_luminance_gray_alpha():
     rgba = np.zeros((1, 1, 4), dtype=np.uint8)
     rgba[0, 0] = (30, 60, 90, 255)
     assert _luminance(rgba)[0, 0] == 60
+
+
+def test_jpeg_dc_luminance_roundtrip():
+    """Baseline JPEG entropy decode recovers exact per-block means in
+    every fixture layout (grayscale, 3-comp 4:4:4, 4:2:0, restart
+    intervals); non-baseline SOFs raise for the feature fallback."""
+    import numpy as np
+    import pytest
+
+    from extractthinker_spark.operators.media import (
+        decode_jpeg_dc_luminance,
+        make_fixture_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    bm = rng.randint(0, 256, size=(4, 6))
+    for kwargs in (
+        {},
+        {"components": 3},
+        {"components": 3, "subsample": True},
+        {"components": 3, "restart": 2},
+        {"restart": 7},
+    ):
+        jpg = make_fixture_jpeg(bm, **kwargs)
+        got = decode_jpeg_dc_luminance(jpg)
+        assert got.shape == bm.shape and (got == bm).all(), kwargs
+    # progressive SOF2 refuses cleanly
+    jpg = bytearray(make_fixture_jpeg(bm))
+    jpg[jpg.index(b"\xff\xc0")+1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_dc_luminance(bytes(jpg))
+    with pytest.raises(ValueError):
+        decode_jpeg_dc_luminance(b"\x89PNG not a jpeg")
+
+
+def test_media_features_jpeg_branch(spark):
+    """media_features uses REAL DC luminance for JPEG payloads: a
+    flat-200 JPEG must land its whole histogram mass in bucket
+    200//16 == 12 (a byte-histogram fake would spread it)."""
+    import numpy as np
+
+    from extractthinker_spark.operators.media import (
+        make_fixture_jpeg,
+        media_features,
+    )
+
+    jpg = make_fixture_jpeg(np.full((4, 4), 200), components=3)
+    df = spark.createDataFrame([("a", bytearray(jpg))],
+                               "doc_id string, raw binary")
+    feats = media_features(df).collect()[0]["features"]
+    assert feats[12] == 1.0 and sum(feats) == 1.0

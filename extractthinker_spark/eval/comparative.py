@@ -182,11 +182,24 @@ def build_comparative_report(
     doc_df: DataFrame | None = None,
     student_model: str = "student",
     teacher_model: str = "teacher",
+    report_cap: int = 10_000,
 ) -> dict:
     """Collect the comparative aggregates into the reference's
     EvaluationReport shape (evaluator.py:761-780): metrics,
-    field_improvements, field_metrics + teacher_field_metrics."""
-    rows = field_df.collect()
+    field_improvements, field_metrics + teacher_field_metrics.
+
+    The collect is one row per contract FIELD (already aggregated),
+    so it is bounded by the schema, not the eval set; ``report_cap``
+    makes that contract explicit — a frame wider than the cap (a
+    per-document frame passed by mistake) raises instead of pulling
+    an unbounded result onto the driver."""
+    rows = field_df.limit(report_cap + 1).collect()
+    if len(rows) > report_cap:
+        raise ValueError(
+            f"build_comparative_report collected more than {report_cap} "
+            "field rows — this expects PER-FIELD aggregates "
+            "(compare_field_metrics output), not per-document rows"
+        )
 
     def side(prefix: str, r) -> dict:
         return {

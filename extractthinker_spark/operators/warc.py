@@ -34,26 +34,34 @@ import pyspark.sql.functions as F  # noqa: F401  (parity with sibling modules)
 from pyspark.sql import DataFrame
 
 
-def gunzip_members(b: bytes) -> bytes:
-    """Concatenated-member gzip decode (RFC 1952 multi-member — the
-    .warc.gz layout: each record its own member). Plain input passes
-    through; a truncated trailing member yields what decoded."""
+def iter_gunzip_members(b: bytes) -> Iterator[bytes]:
+    """Generator over concatenated gzip members (RFC 1952 multi-member
+    — the .warc.gz layout: each record its own member), one inflated
+    member at a time so peak memory is ONE record's plaintext, not the
+    whole archive's (a 1 GB CC archive inflates ~4-5x). Plain input
+    yields itself; a truncated trailing member yields what decoded."""
     if b[:2] != b"\x1f\x8b":
-        return b
-    out = []
+        yield b
+        return
     while b:
         d = zlib.decompressobj(15 + 32)
         try:
-            out.append(d.decompress(b))
+            chunk = d.decompress(b)
         except zlib.error:
-            break
-        out.append(d.flush())
+            return
+        yield chunk + d.flush()
         if not d.unused_data:
-            break
+            return
         b = d.unused_data
         if b[:2] != b"\x1f\x8b":
-            break
-    return b"".join(out)
+            return
+
+
+def gunzip_members(b: bytes) -> bytes:
+    """Joined form of :func:`iter_gunzip_members` — only for callers
+    that genuinely need the whole plaintext at once; the record walk
+    streams members instead."""
+    return b"".join(iter_gunzip_members(b))
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -107,42 +115,75 @@ def _http_payload(payload: bytes) -> tuple[str, bytes]:
     return headers.get("content-type", ""), body
 
 
-def parse_warc_records(
+def iter_warc_records(
     b: bytes, keep_types: tuple[str, ...] = ("response",)
-) -> list[tuple[str, str, bytes]]:
-    """[(target_uri, content_type, body_bytes)] from one WARC file
-    (ISO 28500 §4: ``WARC/1.x`` version line, CRLF header block,
-    Content-Length payload, CRLF CRLF separator). Gzip members are
-    inflated first. Records whose WARC-Type is not in ``keep_types``
-    (request, metadata, warcinfo, ...) are skipped; malformed records
-    end the walk (best-effort — one truncated tail must not discard
+) -> Iterator[tuple[str, str, bytes]]:
+    """Generator of (target_uri, content_type, body_bytes) from one
+    WARC file (ISO 28500 §4: ``WARC/1.x`` version line, CRLF header
+    block, Content-Length payload, CRLF CRLF separator). Gzip members
+    are inflated INCREMENTALLY and records parsed from a rolling
+    buffer whose consumed prefix is dropped after every record — peak
+    memory is one record (plus one compressed input), never the
+    inflated archive. Records whose WARC-Type is not in ``keep_types``
+    (request, metadata, warcinfo, ...) are skipped; a malformed
+    Content-Length ends the walk; a truncated tail yields its clamped
+    record then stops (best-effort — one bad tail must not discard
     the file)."""
-    data = gunzip_members(b)
-    out: list[tuple[str, str, bytes]] = []
-    i = 0
-    n = len(data)
-    while i < n:
-        if not data[i:].startswith(b"WARC/"):
-            nxt = data.find(b"WARC/", i)
-            if nxt < 0:
-                break
-            i = nxt
-        sep = data.find(b"\r\n\r\n", i)
-        if sep < 0:
-            break
-        headers = _parse_headers(data[i:sep])
+    members = iter_gunzip_members(b)
+    buf = bytearray()
+    exhausted = False
+
+    def fill() -> bool:
+        nonlocal exhausted
+        if exhausted:
+            return False
+        nxt = next(members, None)
+        if nxt is None:
+            exhausted = True
+            return False
+        buf.extend(nxt)
+        return True
+
+    while True:
+        # align the buffer on a record start, pulling members as needed
+        while True:
+            if buf.startswith(b"WARC/"):
+                sep = buf.find(b"\r\n\r\n")
+                if sep >= 0:
+                    break
+                if not fill():
+                    return
+                continue
+            idx = buf.find(b"WARC/")
+            if idx >= 0:
+                del buf[:idx]
+                continue
+            if len(buf) > 4:  # keep a tail: 'WARC/' may straddle fills
+                del buf[:-4]
+            if not fill():
+                return
+        headers = _parse_headers(bytes(buf[:sep]))
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break
-        payload = data[sep + 4 : sep + 4 + length]
-        i = sep + 4 + length + 4  # payload + CRLF CRLF record separator
-        if headers.get("warc-type", "") not in keep_types:
-            continue
-        uri = headers.get("warc-target-uri", "").strip("<>")
-        ctype, body = _http_payload(payload)
-        out.append((uri, ctype, body))
-    return out
+            return
+        end = sep + 4 + length
+        while len(buf) < end + 4 and fill():
+            pass
+        payload = bytes(buf[sep + 4 : end])
+        del buf[: end + 4]
+        if headers.get("warc-type", "") in keep_types:
+            uri = headers.get("warc-target-uri", "").strip("<>")
+            ctype, body = _http_payload(payload)
+            yield uri, ctype, body
+
+
+def parse_warc_records(
+    b: bytes, keep_types: tuple[str, ...] = ("response",)
+) -> list[tuple[str, str, bytes]]:
+    """Materialized :func:`iter_warc_records` (unit-test convenience;
+    the Arrow stage iterates the generator directly)."""
+    return list(iter_warc_records(b, keep_types))
 
 
 def explode_warc(
@@ -169,11 +210,12 @@ def explode_warc(
                 if b is None:
                     continue
                 try:
-                    recs = parse_warc_records(bytes(b), keep_types)
+                    for j, (uri, ctype, body) in enumerate(
+                        iter_warc_records(bytes(b), keep_types)
+                    ):
+                        rows.append((k, j, uri, ctype, body))
                 except Exception:  # noqa: BLE001 — poison-pill guard
-                    recs = []
-                for j, (uri, ctype, body) in enumerate(recs):
-                    rows.append((k, j, uri, ctype, body))
+                    pass
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -79,3 +79,55 @@ def test_warc_to_documents_spark(spark):
     assert [s["text"] for s in txt["spans"]] == [
         "plain paragraph one", "paragraph two",
     ]
+
+
+def test_warc_member_at_a_time_iteration(monkeypatch):
+    """iter_warc_records pulls gzip members lazily: taking the first
+    response record must not inflate the whole archive (warcinfo +
+    leading members only), and a corrupted tail member still yields
+    every record before it."""
+    import zlib
+
+    from extractthinker_spark.operators import warc as warc_mod
+    from extractthinker_spark.operators.warc import (
+        iter_gunzip_members,
+        iter_warc_records,
+        make_fixture_warc,
+    )
+
+    records = [
+        (f"https://x.example/p{i}", "text/plain",
+         f"body number {i}".encode())
+        for i in range(5)
+    ]
+    blob = make_fixture_warc(records, gzip_members=True)
+
+    pulled = []
+    real = iter_gunzip_members
+
+    def spy(b):
+        for m in real(b):
+            pulled.append(len(m))
+            yield m
+
+    monkeypatch.setattr(warc_mod, "iter_gunzip_members", spy)
+    it = iter_warc_records(blob)
+    first = next(it)
+    assert first[0] == "https://x.example/p0"
+    # warcinfo member + at most the first two record members pulled
+    assert len(pulled) <= 3, pulled
+    rest = list(it)
+    assert [u for u, _, _ in rest] == [u for u, _, _ in records[1:]]
+
+    # truncated tail: chop the final gzip member mid-stream
+    members = []
+    rest_blob = blob
+    while rest_blob:
+        d = zlib.decompressobj(15 + 32)
+        d.decompress(rest_blob)
+        used = len(rest_blob) - len(d.unused_data)
+        members.append(rest_blob[:used])
+        rest_blob = d.unused_data
+    truncated = b"".join(members[:-1]) + members[-1][: len(members[-1]) // 2]
+    got = [u for u, _, _ in iter_warc_records(truncated)]
+    assert got == [u for u, _, _ in records[:4]]

@@ -128,6 +128,11 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "raw_pipeline_extract",
         "table_detect_cells",
         "media_meta_dims",
+        "substring_dup_spans",
+        "host_stats",
+        "host_cap",
+        "pdf_encoding_spans",
+        "jpeg_dc_features",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

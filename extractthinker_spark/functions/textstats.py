@@ -14,6 +14,7 @@ __spark_entry__.oracle_sql().
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: pandas_udf type hints resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -621,7 +622,64 @@ def _let1(expr: Column, body) -> Column:
     return F.transform(F.array(expr), body)[0]
 
 
-def lang_id(text: Column) -> Column:
+def lang_id_arrow(text: Column) -> Column:
+    """Zero-shuffle Arrow twin of :func:`lang_id` — EXACTLY equal
+    output (every stage is integer counts compared with the same
+    tie-breaks; stopword regexes run under ``re.ASCII`` so Python's
+    ``\\b`` matches Java's and RE2's ASCII word boundary). One
+    compiled-regex pass per table row instead of ~35 JVM regex scans
+    per document — the production path for corpus-wide curation, same
+    rule as repetition_features' ``impl='arrow'``."""
+    import re as _re
+
+    script_pats = []
+    for code, ranges in LANG_SCRIPTS:
+        cls = "[" + "".join(
+            chr(lo) + "-" + chr(hi) for lo, hi in ranges
+        ) + "]"
+        script_pats.append((code, _re.compile(cls)))
+    latin_pat = _re.compile("[A-Za-z]")
+    vote_pats = [
+        (code, _re.compile(stopword_regex(code), _re.ASCII))
+        for code in sorted(LANG_STOPWORDS)
+    ]
+
+    def one(t: str | None) -> str:
+        if not t:
+            return "und"
+        raw = {c: len(p.findall(t)) for c, p in script_pats}
+        kana, han = raw["ja"], raw["zh"]
+        best_s, best_s_code = -1, "und"
+        for code, _p in script_pats:
+            if code == "ja":
+                hits = kana + han if kana > 0 else 0
+            elif code == "zh":
+                hits = 0 if kana > 0 else han
+            else:
+                hits = raw[code]
+            if hits > best_s:       # strictly greater: first max wins
+                best_s, best_s_code = hits, code
+        latin = len(latin_pat.findall(t))
+        if best_s > latin:
+            return best_s_code
+        low = t.lower()
+        best_v, best_v_code = 0, "und"
+        for code, p in vote_pats:
+            hits = len(p.findall(low))
+            if hits > best_v:       # ties → lexically smallest code
+                best_v, best_v_code = hits, code
+        if best_v > 0:
+            return best_v_code
+        return best_s_code if best_s > 0 else "und"
+
+    @F.pandas_udf("string")
+    def _lid(texts: pd.Series) -> pd.Series:
+        return pd.Series([one(t) for t in texts])
+
+    return _lid(text)
+
+
+def lang_id(text: Column, impl: str = "arrow") -> Column:
     """Web-scale deterministic language ID.
 
     Stage 1: Unicode-script histogram — the winning non-Latin script
@@ -630,7 +688,13 @@ def lang_id(text: Column) -> Column:
     languages (ties → lexically smallest code). A text with zero vote
     hits falls back to any non-zero script evidence, else 'und'.
     All-integer comparisons → bit-exact vs the generated DuckDB twin.
+
+    ``impl='arrow'`` (default) runs the one-pass compiled-regex twin
+    (:func:`lang_id_arrow`, parity-pinned); ``impl='expr'`` is the
+    oracle-shaped Catalyst expression.
     """
+    if impl == "arrow":
+        return lang_id_arrow(text)
     latin = F.length(text) - F.length(
         F.regexp_replace(text, "[A-Za-z]", "")
     )

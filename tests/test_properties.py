@@ -510,3 +510,38 @@ def test_lang_id_matches_duckdb_twin(spark):
         k: v for k, v in con.execute(mod._langid_sql()).fetchall()
     }
     assert got == oracle
+
+
+def test_lang_id_arrow_parity(spark):
+    """lang_id impl='arrow' is bit-equal to the Catalyst expression
+    twin on mixed-script and Latin-vote fixtures (incl. the kana rule
+    and zero-evidence fallbacks)."""
+    from extractthinker_spark.functions.textstats import lang_id
+
+    rows = [
+        ("a", "これは日本語のテキストです。漢字も含む。"),
+        ("b", "只有汉字的中文句子"),
+        ("c", "한국어 텍스트 입니다"),
+        ("d", "Привет мир тест текста"),
+        ("e", "the cat and the dog of the house"),
+        ("f", "der hund und die katze ist das"),
+        ("g", "une phrase pour le test des mots est"),
+        ("h", "no stopword zzz qqq xxx yyy"),
+        ("i", ""),
+        ("j", "12345 !!! ???"),
+        ("k", "mixed 漢 the and of to is english body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    arrow = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text"), impl="arrow").alias("l")
+        ).collect()
+    }
+    expr = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text"), impl="expr").alias("l")
+        ).collect()
+    }
+    assert arrow == expr

@@ -130,9 +130,12 @@ def cap_per_host(
     ``host``.
 
     Scale shape: one hash exchange on host + within-partition sort
-    for the row_number window — Spark's sort spills, so a mega-host
-    (blogspot-scale) degrades to disk, never OOM; hosts are hashed
-    across the cluster so only the single hottest host serializes.
+    for the row_number window, and Catalyst inserts a PARTIAL
+    WindowGroupLimit below the exchange (verified in the physical
+    plan), so each map task ships at most ``max_per_host`` rows per
+    host — a blogspot-scale mega-host costs the shuffle N rows per
+    upstream partition, not its full document count; the residual
+    per-host sort spills, never OOMs.
     """
     from pyspark.sql import Window
 

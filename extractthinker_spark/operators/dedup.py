@@ -981,8 +981,8 @@ def substring_dup_spans(
     cap = max_extend
 
     @F.pandas_udf("struct<cl: long, cr: long>")
-    def _extend(ta: pd.Series, tb: pd.Series, pa: pd.Series,
-                pb: pd.Series) -> pd.DataFrame:
+    def _extend_udf(ta: pd.Series, tb: pd.Series, pa: pd.Series,
+                    pb: pd.Series) -> pd.DataFrame:
         cls, crs = [], []
         for xa, xb, qa, qb in zip(ta, tb, pa, pb):
             ia, ib = int(qa) - 1, int(qb) - 1
@@ -998,6 +998,12 @@ def substring_dup_spans(
             crs.append(cr)
         return pd.DataFrame({"cl": cls, "cr": crs})
 
+    # deterministic, but marked nondeterministic as a plan BARRIER:
+    # CollapseProject otherwise clones the Arrow UDF once per struct
+    # field access (two ArrowEvalPython nodes per branch, verified in
+    # the physical plan)
+    _extend = _extend_udf.asNondeterministic()
+
     matched = (
         with_texts.withColumn(
             "_e", _extend(F.col("ta"), F.col("tb"), F.col("pa"),
@@ -1009,19 +1015,25 @@ def substring_dup_spans(
         )
         .filter(F.col("cl") + F.col("cr") >= min_len)
     )
+    # BOTH sides of every match in one pass: explode a 2-struct array
+    # instead of a self-union (a union re-executes the whole posting →
+    # join → extend pipeline per branch)
     spans = (
         matched.select(
-            F.col("a").alias("_k"),
-            (F.col("pa") - F.col("cl")).alias("s"),
-            (F.col("pa") + F.col("cr")).alias("e"),
+            F.explode(F.array(
+                F.struct(
+                    F.col("a").alias("_k"),
+                    (F.col("pa") - F.col("cl")).alias("s"),
+                    (F.col("pa") + F.col("cr")).alias("e"),
+                ),
+                F.struct(
+                    F.col("b").alias("_k"),
+                    (F.col("pb") - F.col("cl")).alias("s"),
+                    (F.col("pb") + F.col("cr")).alias("e"),
+                ),
+            )).alias("sp")
         )
-        .unionByName(
-            matched.select(
-                F.col("b").alias("_k"),
-                (F.col("pb") - F.col("cl")).alias("s"),
-                (F.col("pb") + F.col("cr")).alias("e"),
-            )
-        )
+        .select("sp.*")
         .distinct()
     )
     w_prev = (

@@ -803,20 +803,174 @@ def _pdf_block_text(
     return "\n".join(ln for ln in lines if ln)
 
 
-def _inflate_pdf_stream(dict_bytes: bytes, data: bytes) -> bytes:
-    """Decompress a content stream when its dict names /FlateDecode
-    (stdlib zlib — the decode pypdf gets from its filter table,
-    document_loader_pypdf.py:104-152 path). The writer's optional EOL
-    before ``endstream`` is stripped only if the raw bytes fail, so a
-    checksum byte that happens to be 0x0A is never lost."""
-    if b"/FlateDecode" not in dict_bytes:
-        return data
-    for candidate in (data, data.rstrip(b"\r\n")):
-        try:
-            return zlib.decompress(candidate)
-        except zlib.error:
+def _pdf_lzw_decode(data: bytes) -> bytes:
+    """PDF/TIFF LZW variant (PDF 32000-1 §7.4.4): variable 9–12-bit
+    MSB-first codes, Clear=256, EOD=257, EARLY-CHANGE width bump (the
+    PDF default /EarlyChange 1: width grows one code before the table
+    fills)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.extend((b"", b""))  # 256 Clear, 257 EOD placeholders
+
+    reset()
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # 12-bit cap: writer Clears here
+                    table.append(prev + entry[:1])
+            else:  # KwKwK case
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1  # early change
+    return bytes(out)
+
+
+def _pdf_lzw_encode(data: bytes) -> bytes:
+    """Fixture-side LZW encoder (same §7.4.4 variant, early change) —
+    round-trip partner of :func:`_pdf_lzw_decode`."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for k in range(width - 1, -1, -1):
+            bits.append((code >> k) & 1)
+
+    emit(256)  # Clear
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
             continue
-    return b""
+        emit(table[w])
+        w = bytes([byte])
+        if next_code >= 4095:  # 12-bit space exhausted: Clear + reset
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+            continue
+        table[wc] = next_code
+        next_code += 1
+        # width bump one emission after the decoder's early-change
+        # point (the decoder's table runs one entry behind): decoder
+        # bumps at table size 2^w - 1, encoder at next_code == 2^w
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+
+
+def _pdf_ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 32000-1 §7.4.3): whitespace-tolerant base-85
+    groups, ``z`` shorthand for four zero bytes, ``~>`` EOD, partial
+    final group truncated per spec."""
+    body = data.split(b"~>")[0]
+    out = bytearray()
+    group: list[int] = []
+    for c in body:
+        if c in b" \t\r\n\f\0":
+            continue
+        if c == 0x7A and not group:  # 'z'
+            out += b"\0\0\0\0"
+            continue
+        if not (0x21 <= c <= 0x75):
+            break
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group.clear()
+    if len(group) > 1:  # partial group: pad with 'u', keep n-1 bytes
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+_PDF_FILTER_RE = re.compile(
+    rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))", re.DOTALL
+)
+_PDF_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _inflate_pdf_stream(dict_bytes: bytes, data: bytes) -> bytes:
+    """Apply the stream dict's /Filter chain (single name or array,
+    in order): FlateDecode (stdlib zlib), LZWDecode, ASCII85Decode,
+    ASCIIHexDecode — the decode set pypdf gets from its filter table
+    (document_loader_pypdf.py:104-152 path). Unknown filters (DCT,
+    CCITT, JBIG2 — image data) leave the bytes untouched. The
+    writer's optional EOL before ``endstream`` is stripped only if
+    the raw bytes fail, so a checksum byte that happens to be 0x0A is
+    never lost. Predictors (/Predictor >= 2) are out of the subset
+    (real writers predict XRef streams, not content)."""
+    fm = _PDF_FILTER_RE.search(dict_bytes)
+    if not fm:
+        return data
+    names = (
+        _PDF_FILTER_NAME_RE.findall(fm.group(1))
+        if fm.group(1) is not None else [fm.group(2)]
+    )
+    for name in names:
+        if name == b"FlateDecode" or name == b"Fl":
+            for candidate in (data, data.rstrip(b"\r\n")):
+                try:
+                    data = zlib.decompress(candidate)
+                    break
+                except zlib.error:
+                    continue
+            else:
+                return b""
+        elif name == b"LZWDecode" or name == b"LZW":
+            data = _pdf_lzw_decode(data.rstrip(b"\r\n"))
+        elif name == b"ASCII85Decode" or name == b"A85":
+            data = _pdf_ascii85_decode(data)
+        elif name == b"ASCIIHexDecode" or name == b"AHx":
+            hexpart = data.split(b">")[0]
+            digits = b"".join(hexpart.split())
+            if len(digits) % 2:
+                digits += b"0"
+            try:
+                data = bytes.fromhex(digits.decode("ascii"))
+            except ValueError:
+                return b""
+    return data
 
 
 # indirect objects and references (generation number ignored — only

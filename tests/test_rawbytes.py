@@ -961,3 +961,56 @@ def test_pdf_aes128_decrypt():
           b"endobj\ntrailer\n<< /Encrypt 5000 0 R >>\n"
     )
     decode_pdf_pages(aes3)  # must not raise
+
+
+def test_pdf_lzw_ascii85_hex_filters():
+    """Stream /Filter coverage beyond Flate (PDF 32000-1 §7.4.2-7.4.4):
+    LZW (variable 9-12-bit codes, early change, Clear/EOD, 12-bit
+    table reset) round-trips against the fixture encoder incl. random
+    payloads that cross every width boundary; ASCII85 matches the
+    stdlib encoder incl. 'z' groups and partial tails; ASCIIHex and
+    filter CHAINS ([/ASCII85Decode /FlateDecode]) decode end-to-end."""
+    import base64
+    import random
+    import zlib
+
+    from extractthinker_spark.operators.rawbytes import (
+        _pdf_ascii85_decode,
+        _pdf_lzw_decode,
+        _pdf_lzw_encode,
+        decode_pdf_pages,
+    )
+
+    random.seed(5)
+    cases = [
+        b"", b"a", b"aaaaaa", b"TOBEORNOTTOBEORTOBEORNOT",
+        bytes(random.randrange(256) for _ in range(9000)),
+        bytes(random.randrange(256) for _ in range(60000)),
+        b"ab" * 4000, bytes(range(256)) * 40,
+        bytes([0x45] * 5 + [0x65] + [0x45] * 3 + [0x66]),  # spec §7.4.4.2
+    ]
+    for c in cases:
+        assert _pdf_lzw_decode(_pdf_lzw_encode(c)) == c, len(c)
+        assert _pdf_ascii85_decode(base64.a85encode(c) + b"~>") == c
+    assert _pdf_ascii85_decode(b"z~>") == b"\0\0\0\0"
+
+    def stream_pdf(filt: bytes, payload: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n1 0 obj\n<< /Length "
+            + str(len(payload)).encode() + b" /Filter " + filt
+            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n%%EOF"
+        )
+
+    content = b"BT\n(lzw page text) Tj\nET\n"
+    assert decode_pdf_pages(
+        stream_pdf(b"/LZWDecode", _pdf_lzw_encode(content))
+    ) == ["lzw page text"]
+    assert decode_pdf_pages(
+        stream_pdf(
+            b"[/ASCII85Decode /FlateDecode]",
+            base64.a85encode(zlib.compress(content)) + b"~>",
+        )
+    ) == ["lzw page text"]
+    assert decode_pdf_pages(
+        stream_pdf(b"/ASCIIHexDecode", content.hex().encode() + b">")
+    ) == ["lzw page text"]

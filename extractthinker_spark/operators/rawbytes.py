@@ -407,7 +407,8 @@ _PDF_TOK_RE = re.compile(
     + rb"|(-?[0-9.]+)[ \t\r\n]+(-?[0-9.]+)[ \t\r\n]+(Td|TD)\b"
     + rb"|(T\*)"
     + rb"|(?:-?[0-9.]+[ \t\r\n]+){4}(-?[0-9.]+)[ \t\r\n]+(-?[0-9.]+)"
-    + rb"[ \t\r\n]+Tm\b",
+    + rb"[ \t\r\n]+Tm\b"
+    + rb"|/([A-Za-z0-9._+\-]+)[ \t\r\n]+-?[0-9.]+[ \t\r\n]+Tf\b",
     re.DOTALL,
 )
 # content-stream objects: << dict >> stream\n ... endstream
@@ -663,6 +664,142 @@ _PDF_BASEENC_RE = re.compile(
 )
 
 
+def _build_encoding(enc_bytes: bytes) -> dict[int, str] | None:
+    """Single /Encoding dict (or named base encoding) → byte-code
+    overrides: /Differences runs first, then non-Latin-1 rows of the
+    named WinAnsi/MacRoman base table."""
+    enc: dict[int, str] = {}
+    for m in _PDF_DIFF_RE.finditer(enc_bytes):
+        code = 0
+        for tok in _PDF_DIFF_TOK_RE.finditer(m.group(1)):
+            if tok.group(1) is not None:
+                code = int(tok.group(1))
+                continue
+            u = _glyph_to_unicode(tok.group(2).decode("latin-1"))
+            if u is not None and 0 <= code <= 255:
+                enc.setdefault(code, u)
+            code += 1
+    base = _PDF_BASEENC_RE.search(enc_bytes)
+    if base is None:
+        bare = re.search(
+            rb"/(WinAnsiEncoding|MacRomanEncoding)\b", enc_bytes
+        )
+        base = bare
+    if base is not None:
+        codec = (
+            "cp1252" if base.group(1).startswith(b"WinAnsi")
+            else "mac_roman"
+        )
+        for c in range(128, 256):
+            try:
+                u = bytes([c]).decode(codec)
+            except UnicodeDecodeError:
+                continue
+            if u != chr(c):
+                enc.setdefault(c, u)
+    return enc or None
+
+
+def _pdf_balanced_dict(b: bytes, start: int) -> tuple[bytes, int] | None:
+    """Balanced ``<< .. >>`` starting at ``start`` (nesting-aware —
+    the lazy ``<<.*?>>`` regex truncates nested dicts)."""
+    depth, i = 0, start
+    n = len(b)
+    while i < n - 1:
+        two = b[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+            continue
+        if two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return b[start:i], i
+            continue
+        i += 1
+    return None
+
+
+def _pdf_resolve(
+    objs: dict[int, bytes], body: bytes, key: bytes
+) -> bytes | None:
+    """Value of ``/key`` in ``body``: inline balanced dict bytes or
+    the referenced object's body (one indirection)."""
+    m = re.search(re.escape(key) + rb"(?![A-Za-z])\s*", body)
+    if not m:
+        return None
+    rest = m.end()
+    if body[rest : rest + 2] == b"<<":
+        d = _pdf_balanced_dict(body, rest)
+        return d[0] if d else None
+    rm = re.match(rb"(\d+)\s+\d+\s+R", body[rest:])
+    if rm:
+        return objs.get(int(rm.group(1)))
+    return None
+
+
+_PDF_FONT_ENTRY_RE = re.compile(rb"/([A-Za-z0-9._+\-]+)\s+(\d+)\s+\d+\s+R")
+_PDF_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_PDF_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+_FontInfo = tuple  # (cmap | None, enc | None)
+
+
+def _pdf_page_fonts(
+    objs: dict[int, bytes], page_num: int
+) -> dict[str, _FontInfo]:
+    """Per-font (ToUnicode cmap, simple-font encoding) map for one
+    page: /Resources (inherited up the /Parent chain per PDF 32000-1
+    §7.7.3.4) → /Font entries → each font's own /ToUnicode stream and
+    /Encoding dict. A font resolved here REPLACES the document-wide
+    union inside its Tf span — a 2-byte subset font and a WinAnsi text
+    font on the same page each decode with their own tables."""
+    body = objs.get(page_num, b"")
+    res = None
+    seen: set[int] = set()
+    cur = page_num
+    while cur is not None and cur not in seen:
+        seen.add(cur)
+        cbody = objs.get(cur, b"")
+        res = _pdf_resolve(objs, cbody, b"/Resources")
+        if res is not None:
+            break
+        pm = _PDF_PARENT_RE.search(cbody)
+        cur = int(pm.group(1)) if pm else None
+    if res is None:
+        return {}
+    fontd = _pdf_resolve(objs, res, b"/Font")
+    if fontd is None:
+        return {}
+    fonts: dict[str, _FontInfo] = {}
+    for m in _PDF_FONT_ENTRY_RE.finditer(fontd):
+        name = m.group(1).decode("latin-1")
+        fbody = objs.get(int(m.group(2)))
+        if fbody is None:
+            continue
+        cmap = None
+        tum = _PDF_TOUNICODE_RE.search(fbody)
+        if tum:
+            sm = _PDF_STREAM_RE.search(objs.get(int(tum.group(1)), b""))
+            if sm:
+                parsed = _parse_cmap(
+                    _inflate_pdf_stream(sm.group(1), sm.group(2))
+                )
+                if parsed:
+                    cmap = (parsed[0], parsed[1], False)
+        encv = _pdf_resolve(objs, fbody, b"/Encoding")
+        if encv is None:
+            nm = re.search(
+                rb"/Encoding\s*/(WinAnsiEncoding|MacRomanEncoding)\b",
+                fbody,
+            )
+            encv = nm.group(0) if nm else None
+        enc = _build_encoding(encv) if encv is not None else None
+        fonts[name] = (cmap, enc)
+    return fonts
+
+
 def _pdf_collect_encoding(b: bytes) -> dict[int, str] | None:
     """Document-wide single-byte encoding overrides from simple-font
     /Encoding dicts: /Differences (code, glyph-name...) runs first
@@ -744,20 +881,29 @@ def _pdf_hex_string(
 def _pdf_block_text(
     block: bytes, cmap: tuple[int, dict[int, str], bool] | None = None,
     enc: dict[int, str] | None = None,
+    fonts: dict[str, tuple] | None = None,
 ) -> str:
     """Shown text of one ``BT..ET`` block, POSITION-AWARE (pypdf's
     extract_text line logic, document_loader_pypdf.py:104-152): show
     operators (``Tj``, ``'``, ``TJ`` arrays — literal and hex strings,
-    hex through the document ``cmap``) concatenate onto the current
+    hex through the active font's cmap) concatenate onto the current
     line; a line break happens at ``T*``, at ``Td``/``TD`` with a
     non-zero vertical move, at a ``Tm`` whose y differs from the
     previous ``Tm``, and before a ``'`` show. Real writers position
     every fragment (often every glyph) with these operators — joining
     each show with a newline, the old convention, shredded
-    glyph-per-show PDFs into one character per line."""
+    glyph-per-show PDFs into one character per line.
+
+    ``fonts`` (from :func:`_pdf_page_fonts`) switches the active
+    (cmap, enc) pair at each ``Tf`` operator whose font name resolved
+    through the page's /Resources — a resolved font's OWN tables
+    replace the document-wide union inside its span (None means plain
+    Latin-1 for that font, which is the per-font truth); unresolved
+    names keep the document-wide fallback."""
     lines: list[str] = []
     cur: list[str] = []
     last_ty: float | None = None
+    cur_cmap, cur_enc = cmap, enc
 
     def newline() -> None:
         lines.append("".join(cur))
@@ -775,16 +921,16 @@ def _pdf_block_text(
             if op == b"'":
                 newline()
             cur.append(
-                _pdf_unescape(m.group(1), enc)
+                _pdf_unescape(m.group(1), cur_enc)
                 if m.group(1) is not None
-                else _pdf_hex_string(m.group(3), cmap, enc)
+                else _pdf_hex_string(m.group(3), cur_cmap, cur_enc)
             )
         elif m.group(5) is not None:  # [ ... ] TJ
             cur.append(
                 "".join(
-                    _pdf_unescape(sm.group(1), enc)
+                    _pdf_unescape(sm.group(1), cur_enc)
                     if sm.group(1) is not None
-                    else _pdf_hex_string(sm.group(2), cmap, enc)
+                    else _pdf_hex_string(sm.group(2), cur_cmap, cur_enc)
                     for sm in _PDF_STR_RE.finditer(m.group(5))
                 )
             )
@@ -794,6 +940,12 @@ def _pdf_block_text(
                 newline()
         elif m.group(9) is not None:  # T*
             newline()
+        elif m.group(12) is not None:  # /Fname size Tf
+            fname = m.group(12).decode("latin-1")
+            if fonts and fname in fonts:
+                cur_cmap, cur_enc = fonts[fname]
+            else:
+                cur_cmap, cur_enc = cmap, enc
         else:  # a b c d e f Tm — break on y change
             ty = num(m.group(11))
             if last_ty is not None and ty is not None and ty != last_ty:
@@ -1401,6 +1553,7 @@ def _pdf_tree_pages(b: bytes) -> list[str] | None:
     enc = _pdf_collect_encoding(b)
     pages = []
     for pnum in page_nums:
+        fonts = _pdf_page_fonts(objs, pnum)
         cm = _PDF_CONTENTS_RE.search(objs[pnum])
         content = b""
         if cm:
@@ -1412,7 +1565,7 @@ def _pdf_tree_pages(b: bytes) -> list[str] | None:
             "\n".join(
                 t
                 for blk in _PDF_BLOCK_RE.findall(content)
-                if (t := _pdf_block_text(blk, cmap, enc))
+                if (t := _pdf_block_text(blk, cmap, enc, fonts))
             )
         )
     return pages

@@ -1014,3 +1014,53 @@ def test_pdf_lzw_ascii85_hex_filters():
     assert decode_pdf_pages(
         stream_pdf(b"/ASCIIHexDecode", content.hex().encode() + b">")
     ) == ["lzw page text"]
+
+
+def test_pdf_per_font_resources():
+    """Per-font /Resources tracking: a 2-byte subset font (own
+    ToUnicode CMap) and a WinAnsi+/Differences simple font on the
+    SAME page each decode through their own tables at their Tf spans
+    — the document-wide union cannot express this. Resources inherit
+    from the /Pages parent when the page dict lacks them."""
+    import zlib
+
+    from extractthinker_spark.operators.rawbytes import decode_pdf_pages
+
+    cmap_payload = (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"2 beginbfchar\n<0001> <0058>\n<0002> <0059>\n"
+        b"endbfchar\nendcmap\nend"
+    )
+    content = (
+        b"BT\n/F1 12 Tf\n<00010002> Tj\nT*\n"
+        b"/F2 12 Tf\n(hi \310 \223ok\224) Tj\nET\n"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 "
+           b"/Resources << /Font << /F1 10 0 R /F2 11 0 R >> >> >>",
+        # page inherits Resources from the parent /Pages node
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n" % len(content)
+           + content + b"\nendstream",
+        10: b"<< /Type /Font /Subtype /Type0 /ToUnicode 12 0 R >>",
+        11: b"<< /Type /Font /Subtype /Type1 /Encoding "
+            b"<< /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [ 200 /emdash ] >> >>",
+        12: b"<< /Length %d >>\nstream\n" % len(cmap_payload)
+            + cmap_payload + b"\nendstream",
+    }
+    body = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n" % n + o + b"\nendobj\n" for n, o in objs.items()
+    ) + b"%%EOF\n"
+    assert decode_pdf_pages(body) == ["XY\nhi — “ok”"]
+    # compressed content stream takes the same road
+    comp = zlib.compress(content)
+    objs[4] = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp + b"\nendstream"
+    )
+    body2 = b"%PDF-1.4\n" + b"".join(
+        b"%d 0 obj\n" % n + o + b"\nendobj\n" for n, o in objs.items()
+    ) + b"%%EOF\n"
+    assert decode_pdf_pages(body2) == ["XY\nhi — “ok”"]

@@ -1064,3 +1064,59 @@ def substring_dup_spans(
     if return_stats:
         return merged, stats
     return merged
+
+
+def remove_substring_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`substring_dup_spans` output: cut every listed
+    (dup_start, dup_end) half-open 1-based interval out of the
+    document's text — the Lee et al. 2022 policy (remove EVERY copy
+    of a cross-document repeat; they show keeping one copy changes
+    downstream LM quality negligibly, and removal needs no
+    which-copy-is-canonical coordination).
+
+    One collect_list groupBy on the span table (spans per doc are few
+    and merged/non-overlapping by construction) + a left join back to
+    the docs + a Catalyst fold that splices intervals out in
+    descending order (offsets stay valid as the tail shrinks). Output:
+    (key, text_clean, n_spans_removed, n_chars_removed).
+    """
+    per_doc = spans.groupBy(F.col(key).alias("_k")).agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dup_start").alias("s"),
+                        F.col("dup_end").alias("e"),
+                    )
+                )
+            )
+        ).alias("_spans")
+    )
+    joined = df.select(
+        F.col(key).alias("_k"), F.col(text_col).alias("_t")
+    ).join(per_doc, "_k", "left")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    cleaned = F.aggregate(
+        sp,
+        F.col("_t"),
+        lambda acc, s: F.concat(
+            F.substring(acc, F.lit(1), (s["s"] - 1).cast("int")),
+            F.substr(acc, s["e"].cast("int"), F.length(acc)),
+        ),
+    )
+    return joined.select(
+        F.col("_k").alias(key),
+        cleaned.alias("text_clean"),
+        F.size(sp).cast("long").alias("n_spans_removed"),
+        F.aggregate(
+            sp, F.lit(0).cast("long"), lambda a, s: a + (s["e"] - s["s"])
+        ).alias("n_chars_removed"),
+    )

@@ -303,3 +303,45 @@ def test_substring_dup_cap_audit(spark):
     # uncapped, the boilerplate IS found
     spans_ok = substring_dup_spans(df, min_len=40, max_doc_freq=100)
     assert spans_ok.count() == 9
+
+
+def test_remove_substring_spans_end_to_end(spark):
+    """substring_dup_spans → remove_substring_spans composition: the
+    shared region (plus its flanking matched spaces) disappears from
+    every doc carrying it; docs without spans pass through; counts
+    audit the removal."""
+    from extractthinker_spark.operators.dedup import (
+        remove_substring_spans,
+        substring_dup_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"AAA {shared} BBB"),
+        (2, f"CCCCCC {shared} DD"),
+        (3, "nothing repeated here at all in this standalone text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = substring_dup_spans(df, min_len=40, max_extend=100)
+    got = {
+        r["doc_id"]: r
+        for r in remove_substring_spans(df, spans).collect()
+    }
+    # span [4, 62) in doc 1: "AAA" + (space kept at pos 63.. wait —
+    # the matched region includes both flanking spaces, so the rest
+    # concatenates directly
+    assert got[1]["text_clean"] == "AAABBB"
+    assert got[2]["text_clean"] == "CCCCCCDD"
+    assert got[1]["n_spans_removed"] == 1
+    assert got[1]["n_chars_removed"] == len(shared) + 2
+    assert got[3]["text_clean"] == rows[2][1]
+    assert got[3]["n_spans_removed"] == 0
+
+    # multiple disjoint spans in one doc splice independently
+    manual = spark.createDataFrame(
+        [(9, 3, 6), (9, 7, 9)], "doc_id int, dup_start long, dup_end long"
+    )
+    doc = spark.createDataFrame([(9, "abXXXcYYz")], "doc_id int, text string")
+    out = remove_substring_spans(doc, manual).collect()[0]
+    assert out["text_clean"] == "abcz"
+    assert out["n_chars_removed"] == 5

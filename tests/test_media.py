@@ -345,3 +345,46 @@ def test_media_features_jpeg_branch(spark):
                                "doc_id string, raw binary")
     feats = media_features(df).collect()[0]["features"]
     assert feats[12] == 1.0 and sum(feats) == 1.0
+
+
+def test_jpeg_dc_property_fuzz():
+    """Hypothesis fuzz: arbitrary block-mean grids round-trip through
+    every fixture layout (the decoder's Huffman/DC path sees every
+    diff category and boundary)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from extractthinker_spark.operators.media import (
+        decode_jpeg_dc_luminance,
+        make_fixture_jpeg,
+    )
+
+    @given(
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=2 ** 31 - 1),
+        st.sampled_from([(1, False, 0), (3, False, 0), (3, False, 3)]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def roundtrip(bh, bw, seed, layout):
+        comps, sub, restart = layout
+        bm = np.random.RandomState(seed).randint(0, 256, size=(2 * bh, 2 * bw))
+        jpg = make_fixture_jpeg(
+            bm, components=comps, subsample=sub, restart=restart
+        )
+        assert (decode_jpeg_dc_luminance(jpg) == bm).all()
+
+    @given(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=2 ** 31 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def roundtrip_420(bh, bw, seed):
+        bm = np.random.RandomState(seed).randint(0, 256, size=(2 * bh, 2 * bw))
+        jpg = make_fixture_jpeg(bm, components=3, subsample=True)
+        assert (decode_jpeg_dc_luminance(jpg) == bm).all()
+
+    roundtrip()
+    roundtrip_420()

@@ -1064,3 +1064,41 @@ def test_pdf_per_font_resources():
         b"%d 0 obj\n" % n + o + b"\nendobj\n" for n, o in objs.items()
     ) + b"%%EOF\n"
     assert decode_pdf_pages(body2) == ["XY\nhi — “ok”"]
+
+
+def test_codec_property_fuzz():
+    """Hypothesis fuzz over the round-5 pure-python codecs: LZW
+    encode/decode, AES-CBC encrypt/decrypt, ASCII85 vs stdlib — all
+    identity round trips on arbitrary byte strings."""
+    import base64
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from extractthinker_spark.operators.rawbytes import (
+        _aes_cbc_decrypt,
+        _aes_cbc_encrypt,
+        _pdf_ascii85_decode,
+        _pdf_lzw_decode,
+        _pdf_lzw_encode,
+    )
+
+    @given(st.binary(max_size=3000))
+    @settings(max_examples=120, deadline=None)
+    def lzw_roundtrip(data):
+        assert _pdf_lzw_decode(_pdf_lzw_encode(data)) == data
+
+    @given(st.binary(max_size=500), st.binary(min_size=16, max_size=16),
+           st.binary(min_size=16, max_size=16))
+    @settings(max_examples=60, deadline=None)
+    def aes_roundtrip(data, key, iv):
+        assert _aes_cbc_decrypt(key, _aes_cbc_encrypt(key, iv, data)) == data
+
+    @given(st.binary(max_size=800))
+    @settings(max_examples=120, deadline=None)
+    def a85_matches_stdlib(data):
+        assert _pdf_ascii85_decode(base64.a85encode(data) + b"~>") == data
+
+    lzw_roundtrip()
+    aes_roundtrip()
+    a85_matches_stdlib()

@@ -216,3 +216,78 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
     finalized = {k: v for k, v in batch.items() if k[0] != "zz"}
     for k, v in finalized.items():
         assert got.get(k) == v, (k, v, got)
+
+
+def test_stream_dedup_exact_cross_batch(spark, tmp_path):
+    """Streaming exact dedup holds state ACROSS micro-batches
+    (maxFilesPerTrigger=1 forces one batch per landing file): a
+    duplicate arriving in a later batch is dropped by the engine path
+    and ledgered keep=false by the audit path; batch dedup_exact is
+    the anchor for what survives."""
+    import pyspark.sql.functions as F
+
+    from extractthinker_spark.streaming.dedup import (
+        stream_dedup_exact,
+        stream_dedup_exact_audit,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    b1 = spark.createDataFrame(
+        [("a", "the same body"), ("b", "unique one")],
+        "doc_id string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("c", "THE  SAME body"), ("d", "unique two"),
+         ("e", "unique two")],
+        "doc_id string, text string",
+    )
+    b1.coalesce(1).write.parquet(str(land / "f1"))
+    b2.coalesce(1).write.parquet(str(land / "f2"))
+
+    src = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land) + "/*")
+    )
+
+    out1 = tmp_path / "out1"
+    q = (
+        stream_dedup_exact(src)
+        .writeStream.format("parquet")
+        .option("path", str(out1))
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(str(out1)).collect()
+    }
+    # one survivor per fingerprint; 'c' normalizes equal to 'a'
+    assert len(kept) == 3
+    assert "b" in kept and "d" in kept or "e" in kept
+    assert not {"a", "c"} <= kept
+
+    out2 = tmp_path / "out2"
+    q2 = (
+        stream_dedup_exact_audit(src)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out2))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    verdicts = {
+        r["doc_id"]: (r["keep"], r["prior_copies"])
+        for r in spark.read.parquet(str(out2)).collect()
+    }
+    assert len(verdicts) == 5  # every row ledgered
+    assert verdicts["a"] == (True, 0)
+    # same-fingerprint doc in the LATER batch: dropped with state count
+    assert verdicts["c"][0] is False and verdicts["c"][1] >= 1
+    assert verdicts["d"][0] != verdicts["e"][0]  # smallest key kept
+    kept_ids = {k for k, (kp, _) in verdicts.items() if kp}
+    assert kept_ids == {"a", "b", "d"}

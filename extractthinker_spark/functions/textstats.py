@@ -740,3 +740,74 @@ def lang_id(text: Column, impl: str = "arrow") -> Column:
         )
 
     return _let1(packed, decide)
+
+
+# --- C4-style heuristic cleaning (Raffel et al. 2020, §2.2) ---------------
+
+C4_LINE_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_TERMINAL = ('.', '!', '?', '"', "'")
+
+
+def c4_filter(
+    df,
+    key: str = "doc_id",
+    text_col: str = "text",
+    blocklist: list[str] | None = None,
+    min_sentences: int = C4_MIN_SENTENCES,
+    line_min_words: int = C4_LINE_MIN_WORDS,
+):
+    """The C4 cleaning pass (Raffel et al. 2020 — the other standard
+    web-curation gate next to Gopher): per LINE, keep only lines that
+    end in terminal punctuation AND have >= ``line_min_words`` words;
+    per DOCUMENT, reject when fewer than ``min_sentences`` sentences
+    survive, when the raw text contains ``{`` (code page) or "lorem
+    ipsum", or when any ``blocklist`` word appears (case-insensitive;
+    C4 uses the public "bad words" list — supply your own, none ships
+    here). Returns (key, text_clean, n_lines_kept, keep,
+    reject_reason) with first-failing-rule reasons, mirroring
+    gopher_filter's shape.
+
+    Pure Catalyst (split → filter lambda → rejoin + regexp counts) —
+    zero shuffles, and every rule is expressible in ANSI SQL for a
+    value-level oracle (registry frozen this round; query lands next
+    round)."""
+    lines = F.split(F.col(text_col), "\n")
+    words_of = "[A-Za-z0-9]+"
+
+    def line_ok(ln: Column) -> Column:
+        trimmed = F.trim(ln)
+        ends_ok = None
+        for t in _C4_TERMINAL:
+            c = trimmed.endswith(t)
+            ends_ok = c if ends_ok is None else (ends_ok | c)
+        enough = (
+            F.size(F.regexp_extract_all(trimmed, F.lit(words_of), F.lit(0)))
+            >= line_min_words
+        )
+        return ends_ok & enough
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(
+        F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0))
+    )
+    low = F.lower(F.col(text_col))
+    reason = (
+        F.when(low.contains("lorem ipsum"), "lorem_ipsum")
+        .when(F.col(text_col).contains("{"), "curly_brace")
+    )
+    if blocklist:
+        bad = None
+        for w in blocklist:
+            c = low.rlike(r"\b" + w.lower() + r"\b")
+            bad = c if bad is None else (bad | c)
+        reason = reason.when(bad, "blocklist")
+    reason = reason.when(n_sent < min_sentences, "too_few_sentences")
+    return df.select(
+        key,
+        clean.alias("text_clean"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )

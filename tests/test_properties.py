@@ -545,3 +545,37 @@ def test_lang_id_arrow_parity(spark):
         ).collect()
     }
     assert arrow == expr
+
+
+def test_c4_filter(spark):
+    """C4 cleaning semantics: short / unterminated lines drop, docs
+    fail on lorem ipsum, curly braces, blocklist hits, or too few
+    surviving sentences — first-failing-rule reasons."""
+    from extractthinker_spark.functions.textstats import c4_filter
+
+    good = ("This is a proper sentence with enough words here.\n"
+            "Another full sentence follows it right away today.\n"
+            "And a third one closes the page quite nicely now.")
+    rows = [
+        ("ok", good),
+        ("shortlines", "Tiny line.\nAlso tiny.\nStill tiny.\nNope."),
+        ("noterm", good.replace(".", "")),
+        ("lorem", good + "\nlorem ipsum dolor sit amet consectetur."),
+        ("code", good + "\nfunction f() { return 1; }"),
+        ("bad", good + "\nThis line mentions badger contraband openly."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in c4_filter(df, blocklist=["contraband"]).collect()
+    }
+    assert got["ok"]["keep"] and got["ok"]["n_lines_kept"] == 3
+    assert got["shortlines"]["reject_reason"] == "too_few_sentences"
+    # unterminated lines all drop -> zero sentences survive
+    assert got["noterm"]["n_lines_kept"] == 0
+    assert got["noterm"]["reject_reason"] == "too_few_sentences"
+    assert got["lorem"]["reject_reason"] == "lorem_ipsum"
+    assert got["code"]["reject_reason"] == "curly_brace"
+    assert got["bad"]["reject_reason"] == "blocklist"
+    # the kept text is the surviving lines, rejoined
+    assert got["shortlines"]["text_clean"] == ""

@@ -262,6 +262,47 @@ class Process:
         self._documents = self._require_docs().join(keep_ids, "doc_id")
         return self
 
+    def filter_c4(
+        self, blocklist: list[str] | None = None,
+        keep_rejects: bool = False,
+    ) -> Process:
+        """C4 cleaning gate (Raffel et al. 2020) over each document's
+        EXTRACTED main text — the companion to the Gopher gate
+        (filter_quality): terminal-punctuation line rules, minimum
+        surviving sentences, lorem-ipsum / curly-brace / blocklist
+        page rejects. Verdict stashed as ``self.c4_report``."""
+        from extractthinker_spark.functions.textstats import c4_filter
+
+        merged = doc_text(self.extract_content(nest=True))
+        verdict = c4_filter(
+            merged.select("doc_id", F.col("content").alias("text")),
+            blocklist=blocklist,
+        )
+        self.c4_report = verdict
+        if not keep_rejects:
+            keep_ids = verdict.filter(F.col("keep")).select("doc_id")
+            self._documents = self._require_docs().join(keep_ids, "doc_id")
+        return self
+
+    def dedup_exact(self) -> Process:
+        """Exact-duplicate gate: one document (smallest doc_id) per
+        normalized-content fingerprint of the EXTRACTED main text —
+        the first layer of the standard dedup stack (before near-dup
+        and substring passes). The keep-list is stashed as
+        ``self.dedup_report`` (doc_id, fp)."""
+        from extractthinker_spark.operators.dedup import dedup_exact
+
+        merged = doc_text(self.extract_content(nest=True))
+        keep = dedup_exact(
+            merged.select("doc_id", F.col("content").alias("text")),
+            "doc_id", "text",
+        )
+        self.dedup_report = keep
+        self._documents = self._require_docs().join(
+            keep.select("doc_id"), "doc_id"
+        )
+        return self
+
     def cap_per_host(
         self, urls: DataFrame, max_per_host: int,
         url_col: str = "url",

@@ -390,3 +390,34 @@ def test_host_stats_and_cap(spark):
     rep = {r["host"]: (r["n_docs"], r["n_kept"])
            for r in p.host_report.collect()}
     assert rep == {"big.example.com": (6, 2), "small.example.com": (2, 2)}
+
+
+def test_process_filter_c4_and_dedup_exact(spark):
+    """Process curation chain: C4 gate drops a lorem-ipsum page and
+    dedup_exact keeps the smallest doc_id per identical content."""
+    from extractthinker_spark.api import Process
+
+    def doc(i, text):
+        return (f"d{i}", [{"kind": "text", "text": text,
+                           "media_ref": None, "offset": 0}])
+
+    good = ("This is a proper sentence with enough words here.\n"
+            "Another full sentence follows it right away today.\n"
+            "And a third one closes the page quite nicely now.")
+    docs = spark.createDataFrame(
+        [doc(1, good), doc(2, good + "\nlorem ipsum dolor sit amet."),
+         doc(3, good)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    p = Process().load(docs).filter_c4()
+    kept = {r["doc_id"] for r in p._require_docs().collect()}
+    assert kept == {"d1", "d3"}
+    rep = {r["doc_id"]: r["reject_reason"] for r in p.c4_report.collect()}
+    assert rep["d2"] == "lorem_ipsum"
+
+    p2 = Process().load(docs).dedup_exact()
+    kept2 = {r["doc_id"] for r in p2._require_docs().collect()}
+    # d1 and d3 have identical content -> smallest key survives;
+    # d2's extra line makes it distinct
+    assert kept2 == {"d1", "d2"}

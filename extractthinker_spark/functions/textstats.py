@@ -811,3 +811,35 @@ def c4_filter(
         reason.isNull().alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+# --- unicode hygiene ------------------------------------------------------
+
+def strip_control_chars(text: Column) -> Column:
+    """Remove C0/C1 control characters except \\t \\n \\r (crawl text
+    carries NUL bytes and stray terminal controls that break
+    tokenizers downstream). Pure Catalyst regexp; DEL and the C1
+    block included."""
+    return F.regexp_replace(
+        text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", ""
+    )
+
+
+def normalize_unicode(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC default; NFKC folds compatibility
+    forms — ligatures, fullwidth ASCII — the common LM-corpus choice).
+    Spark has no builtin, so this is an Arrow batch over Python's
+    unicodedata (the canonical implementation); NULLs pass through."""
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t)
+            if t is not None else None
+        )
+
+    return _norm(text)

@@ -579,3 +579,37 @@ def test_c4_filter(spark):
     assert got["bad"]["reject_reason"] == "blocklist"
     # the kept text is the surviving lines, rejoined
     assert got["shortlines"]["text_clean"] == ""
+
+
+def test_unicode_hygiene(spark):
+    """strip_control_chars removes C0/C1 (keeping tab/newline/CR);
+    normalize_unicode NFC composes combining sequences and NFKC folds
+    ligatures/fullwidth; NULLs pass through."""
+    import pytest
+
+    from extractthinker_spark.functions.textstats import (
+        normalize_unicode,
+        strip_control_chars,
+    )
+
+    rows = [
+        ("a", "ab\x00c\x07d\tkeep-\nme\x9cx"),
+        ("b", "cafe\u0301 \ufb01ne \uff41\uff42"),
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["s"], r["nfc"], r["nfkc"])
+        for r in df.select(
+            "doc_id",
+            strip_control_chars(F.col("text")).alias("s"),
+            normalize_unicode(F.col("text"), "NFC").alias("nfc"),
+            normalize_unicode(F.col("text"), "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    assert got["a"][0] == "abcd\tkeep-\nmex"  # hyphen survives
+    assert got["b"][1] == "caf\u00e9 \ufb01ne \uff41\uff42"
+    assert got["b"][2] == "caf\u00e9 fine ab"
+    assert got["c"] == (None, None, None)
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(F.col("text"), "NFX")

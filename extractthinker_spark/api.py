@@ -246,8 +246,9 @@ class Process:
         return self
 
     def filter_language(self, keep: list[str]) -> Process:
-        """Language gate (stopword-vote lang_id over EXTRACTED main
-        text, same stripped-content rule as filter_quality): keep only
+        """Language gate (two-stage web-scale lang_id — Unicode-script
+        histogram + stopword vote — over EXTRACTED main text, same
+        stripped-content rule as filter_quality): keep only
         documents whose detected language is in ``keep``. The verdict
         (doc_id, lang, keep) is stashed as ``self.language_report``."""
         from extractthinker_spark.functions.textstats import lang_id

@@ -59,13 +59,26 @@ def duplicate_groups_exact(df: DataFrame, key: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct char k-grams of the normalized text — pure Catalyst
-    (sequence + substr + array_distinct)."""
-    norm = F.lower(normalize_ws_sql(text))
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda p: F.substr(norm, p, F.lit(k)))
-    )
+    """Distinct char k-grams of the normalized text — pure Catalyst.
+
+    The chars are split ONCE into a let-bound array and each gram is
+    an O(k) array slice: the direct ``substr(norm, p, k)`` form
+    re-inlines the whole normalization regex chain per position (no
+    CSE across lambda boundaries — NOTES.md) and seeks from the
+    string start per call, turning a 60 KB mega-doc into ~10^9 regex
+    chars (measured 395 s for six such docs before this fix; linear
+    after)."""
+
+    def shingles_of(chars: Column) -> Column:
+        n = F.greatest(F.size(chars) - (k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda p: F.array_join(F.slice(chars, p, k), ""),
+            )
+        )
+
+    return _let(F.split(F.lower(normalize_ws_sql(text)), ""), shingles_of)
 
 
 _MERSENNE31 = (1 << 31) - 1

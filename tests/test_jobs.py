@@ -161,3 +161,67 @@ def test_extract_job_warc_input(tmp_path, spark):
     }
     assert got["https://a.example/p.html"] == [("text", "warc page body")]
     assert got["https://b.example/t.txt"] == [("text", "warc text body")]
+
+
+def test_curate_job_funnel(spark, tmp_path):
+    """The full curation funnel end-to-end: C4 kills the lorem page,
+    the language gate drops German, exact dedup keeps one of two
+    identical docs, near-dup keeps the canonical of a close pair,
+    and the audit funnel records each stage's survivor count
+    monotonically."""
+    import json
+
+    from jobs.curate_job import main
+
+    good = ("This is a proper sentence with enough words in it today.\n"
+            "Another full sentence follows the first one right away.\n"
+            "And a third sentence closes out this page quite nicely.\n"
+            "A fourth line keeps the document comfortably long enough.")
+    near = good.replace("nicely", "neatly")
+    de = ("Der Hund und die Katze sind heute nicht in das grosse Haus "
+          "gelaufen und bleiben lieber draussen im Garten sitzen.\n"
+          "Ein zweiter Satz folgt direkt auf den ersten Satz hier.\n"
+          "Und ein dritter Satz beendet die Seite ordentlich jetzt.")
+    rows = [
+        ("d1", good),
+        ("d2", good),                      # exact duplicate of d1
+        ("d3", near),                      # near duplicate of d1
+        ("d4", good + "\nlorem ipsum dolor sit amet consectetur adipiscing."),
+        ("d5", de),                        # german: language gate
+        ("d6", "Email me at bob@example.org for the complete report today.\n"
+               "A second proper sentence pads this document further now.\n"
+               "A third proper sentence finishes the page properly here."),
+    ]
+    docs = spark.createDataFrame(
+        [(k, [{"kind": "text", "text": t, "media_ref": None,
+               "offset": 0}]) for k, t in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    docs.write.parquet(inp)
+
+    report = main(
+        ["--input", inp, "--output", out, "--languages", "en",
+         "--no-gopher", "--master", "local[4]"],
+        stop=False,
+    )
+    funnel = report["funnel"]
+    assert funnel["extracted"] == 6
+    assert funnel["after_c4"] == 5            # d4 lorem dropped
+    assert funnel["after_language"] == 4      # d5 german dropped
+    assert funnel["after_exact_dedup"] == 3   # d2 == d1
+    assert funnel["after_near_dedup"] == 2    # d3 ~ d1, d1 canonical
+    vals = list(funnel.values())
+    assert vals == sorted(vals, reverse=True)  # monotone funnel
+
+    final = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out + "/data").collect()
+    }
+    assert set(final) == {"d1", "d6"}
+    assert "bob@example.org" not in final["d6"]  # PII scrubbed
+    assert "[EMAIL]" in final["d6"]
+    on_disk = json.load(open(out + "/_audit/funnel.json"))
+    assert on_disk["funnel"] == funnel

@@ -29,27 +29,45 @@ DEFAULT_THRESHOLD = 0.7
 
 def hallucination_score(value: Column, doc_text: Column) -> Column:
     """Per-field score in {0.0, 0.3, 0.6, 0.9}; NULL for NULL values
-    (the reference skips None fields, hallucination.py:99-109)."""
-    v = F.lower(F.trim(value.cast("string")))
-    d = F.lower(doc_text)
-    words = F.regexp_extract_all(v, F.lit(r"\w+"), F.lit(0))
-    all_words = (F.size(words) > 0) & F.forall(
-        words, lambda w: d.contains(w)
-    )
-    ngram_hit = F.when(
-        F.length(v) > 3,
-        F.exists(
-            F.sequence(F.lit(1), F.length(v) - 3),
-            lambda i: d.contains(F.substring(v, i, 4)),
+    (the reference skips None fields, hallucination.py:99-109).
+
+    Both lowered operands are LET-bound once (transform-over-array
+    trick, NOTES.md): referenced directly inside the per-position
+    lambdas, ``lower(doc_text)`` would be re-inlined and recomputed
+    over the whole document at every n-gram probe."""
+
+    def score_with(s: Column) -> Column:
+        v, d = s["v"], s["d"]
+        words = F.regexp_extract_all(v, F.lit(r"\w+"), F.lit(0))
+        all_words = (F.size(words) > 0) & F.forall(
+            words, lambda w: d.contains(w)
+        )
+        ngram_hit = F.when(
+            F.length(v) > 3,
+            F.exists(
+                F.sequence(F.lit(1), F.length(v) - 3),
+                lambda i: d.contains(F.substring(v, i, 4)),
+            ),
+        ).otherwise(F.lit(False))
+        return (
+            F.when(d.contains(v), 0.0)
+            .when(all_words, 0.3)
+            .when(ngram_hit, 0.6)
+            .otherwise(0.9)
+        )
+
+    scored = F.transform(
+        F.array(
+            F.struct(
+                F.lower(F.trim(value.cast("string"))).alias("v"),
+                F.lower(doc_text).alias("d"),
+            )
         ),
-    ).otherwise(F.lit(False))
-    return (
-        F.when(value.isNull(), F.lit(None).cast("double"))
-        .when(d.contains(v), 0.0)
-        .when(all_words, 0.3)
-        .when(ngram_hit, 0.6)
-        .otherwise(0.9)
-    )
+        score_with,
+    )[0]
+    return F.when(
+        value.isNull(), F.lit(None).cast("double")
+    ).otherwise(scored)
 
 
 def doc_hallucination(

@@ -195,8 +195,10 @@ def _q_substring_dup(spark, sf):
     in BOTH the source and the plant."""
     from extractthinker_spark.operators.dedup import substring_dup_spans
 
+    # _tp: the anchor stage is an Arrow pass over every char — it must
+    # not inherit the unsplittable single-row-group scan partitioning
     d = (
-        _t(spark, sf, "documents")
+        _tp(spark, sf, "documents")
         .filter(F.col("doc_id") < 100)
         .select("doc_id", "text")
     )

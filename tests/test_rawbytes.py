@@ -728,6 +728,8 @@ def test_corrupt_fuzz_never_fails_task(spark):
     import random
 
     from extractthinker_spark.operators.rawbytes import (
+        _pdf_lzw_encode,
+        encrypt_fixture_pdf,
         make_fixture_cfb,
         make_fixture_doc,
         make_fixture_pdf_tree,
@@ -751,6 +753,16 @@ def test_corrupt_fuzz_never_fails_task(spark):
         ),
         b"\x1f\x8b" + bytes(30),
         b"PK\x03\x04" + b"word/document.xml" + bytes(60),
+        # round-5 surfaces: /Differences fonts, AES-128 envelope, LZW
+        make_fixture_pdf_tree(["enc page", "two"], encoding_diff=True),
+        encrypt_fixture_pdf(
+            make_fixture_pdf(["aes page"], compress=True), aes=True
+        ),
+        (lambda lz: b"%PDF-1.4\n1 0 obj\n<< /Length "
+         + str(len(lz)).encode() + b" /Filter /LZWDecode >>\nstream\n"
+         + lz + b"\nendstream\nendobj\n%%EOF")(
+            _pdf_lzw_encode(b"BT (lzw text) Tj ET")
+        ),
     ]
     rows = []
     i = 0

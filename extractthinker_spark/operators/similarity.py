@@ -611,3 +611,129 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (memory lever for the ANN store)
+# --------------------------------------------------------------------------
+# A 10^12-doc embedding table at float32 is ~0.3 PB for dim=768; the
+# standard first lever (FAISS SQ8, ScaNN int8) is per-vector symmetric
+# int8: 4x smaller scans and shuffles. Search = quantized coarse
+# scoring -> exact float re-rank on the shortlist, so recall loss is
+# bounded by the shortlist width, not the codec.
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "vec", out_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(127 * x_i /
+    max|x|), stored with the per-row ``scale`` = max|x| / 127 needed
+    to dequantize (x ≈ q * scale). Pure Catalyst transform — the
+    array shrinks 4x (tinyint vs float) in shuffles, caches and the
+    state the IVF probe scans. All-zero vectors quantize to zeros
+    with scale 0."""
+    amax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+    )
+    return df.withColumn("_amax", amax).select(
+        "*",
+        F.when(F.col("_amax") > 0, F.col("_amax") / 127.0)
+        .otherwise(F.lit(0.0)).alias(out_col + "_scale"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.when(
+                F.col("_amax") > 0,
+                F.round(x * 127.0 / F.col("_amax"), 0).cast("tinyint"),
+            ).otherwise(F.lit(0).cast("tinyint")),
+        ).alias(out_col),
+    ).drop("_amax")
+
+
+def dequantize(qvec: Column, scale: Column) -> Column:
+    """int8 codes + per-row scale → array<double> approximation."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
+def ann_topk_quantized(
+    df: DataFrame,
+    queries: DataFrame,
+    key: str = "doc_id",
+    vec_col: str = "vec",
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Brute-force top-k with the int8 memory layout: coarse scores on
+    the quantized vectors pick a ``shortlist`` per query (the scan
+    reads 1/4 the bytes), then EXACT float cosine re-ranks the
+    shortlist — the returned (query_id, neighbor_id, cos_sim, rnk)
+    ordering is exact-over-shortlist, so recall vs full brute force
+    is governed by ``shortlist``/``k`` (pinned by test), not by
+    quantization noise."""
+    from pyspark.sql import Window
+
+    qdf = quantize_embeddings(df, vec_col)
+    qq = quantize_embeddings(
+        queries.select(
+            F.col(key).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "qv",
+    )
+    coarse = (
+        qq.crossJoin(
+            F.broadcast(
+                qdf.select(
+                    F.col(key).alias("neighbor_id"),
+                    F.col("qvec").alias("nq"),
+                    F.col("qvec_scale").alias("nscale"),
+                    F.col(vec_col).alias("nv"),
+                )
+            )
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))  # family rule
+        .withColumn(
+            "qdot",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"), F.col("nq"),
+                    lambda a, b: a.cast("int") * b.cast("int"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # cosine ordering needs the neighbor norm (query norm is
+        # constant within a query group); int8 codes are direction-
+        # preserving so code-space cosine approximates float cosine
+        .withColumn(
+            "qnorm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("nq"),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("int") * x.cast("int"),
+                ).cast("double")
+            ),
+        )
+        .withColumn(
+            "qscore",
+            F.when(F.col("qnorm") > 0, F.col("qdot") / F.col("qnorm"))
+            .otherwise(F.lit(float("-inf"))),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    short = coarse.withColumn("_r", F.row_number().over(wq)).filter(
+        F.col("_r") <= shortlist
+    )
+    exact = short.withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

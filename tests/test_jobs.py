@@ -225,3 +225,64 @@ def test_curate_job_funnel(spark, tmp_path):
     assert "[EMAIL]" in final["d6"]
     on_disk = json.load(open(out + "/_audit/funnel.json"))
     assert on_disk["funnel"] == funnel
+
+
+def test_curate_job_substring_and_host_branches(spark, tmp_path):
+    """The optional funnel stages: --substring-dedup splices planted
+    cross-doc repeats out of surviving docs; --url-input caps per
+    host and writes host stats."""
+    import json
+
+    from jobs.curate_job import main
+
+    shared = ("this exact boilerplate legal disclaimer paragraph "
+              "appears verbatim across documents today")
+    uniq = [
+        "The marmot colony dug elaborate burrow networks under the "
+        "alpine meadow while researchers mapped every tunnel exit.",
+        "Submarine cables carry optical signals across the atlantic "
+        "with amplifier stations spaced along the seabed route.",
+        "The pottery kiln reached temperature slowly as the glaze "
+        "chemistry demanded a precise reduction atmosphere inside.",
+        "Migratory shorebirds time their departure with the tidal "
+        "cycles that expose the mudflats rich in invertebrates.",
+    ]
+    rows = [
+        (f"d{i}",
+         f"{uniq[i]}\n{shared}.\n"
+         f"A closing sentence number {i} finishes the page properly.")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        [(k, [{"kind": "text", "text": t, "media_ref": None,
+               "offset": 0}]) for k, t in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    urls = spark.createDataFrame(
+        [(f"d{i}", f"https://one.example/p{i}") for i in range(4)],
+        "doc_id string, url string",
+    )
+    inp, uinp, out = (str(tmp_path / p) for p in ("in", "urls", "out"))
+    docs.write.parquet(inp)
+    urls.write.parquet(uinp)
+
+    report = main(
+        ["--input", inp, "--output", out, "--no-gopher", "--no-c4",
+         "--substring-dedup", "--substring-min-len", "60",
+         "--url-input", uinp, "--max-per-host", "3",
+         "--master", "local[4]"],
+        stop=False,
+    )
+    funnel = report["funnel"]
+    assert funnel["after_substring_dedup"] == 4
+    assert funnel["after_host_cap"] == 3  # d3 capped out
+    final = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out + "/data").collect()
+    }
+    assert set(final) == {"d0", "d1", "d2"}
+    assert all(shared not in t for t in final.values())
+    stats = spark.read.parquet(out + "/_audit/host_stats").collect()
+    assert stats and stats[0]["host"] == "one.example"
+    assert json.load(open(out + "/_audit/funnel.json"))["funnel"] == funnel

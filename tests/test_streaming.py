@@ -291,3 +291,42 @@ def test_stream_dedup_exact_cross_batch(spark, tmp_path):
     assert verdicts["d"][0] != verdicts["e"][0]  # smallest key kept
     kept_ids = {k for k, (kp, _) in verdicts.items() if kp}
     assert kept_ids == {"a", "b", "d"}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state variant: dedup-within-horizon suppresses
+    duplicates inside the watermark window; the ts column is required
+    and the query still drains availableNow."""
+    import pytest
+
+    from extractthinker_spark.streaming.dedup import stream_dedup_exact
+
+    land = tmp_path / "land"
+    land.mkdir()
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", "same body", "2026-01-01 10:00:00"),
+         ("b", "same body", "2026-01-01 10:05:00"),
+         ("c", "other body", "2026-01-01 10:06:00")],
+        "doc_id string, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(land / "f1"))
+
+    src = spark.readStream.schema(
+        "doc_id string, text string, ts timestamp"
+    ).parquet(str(land) + "/*")
+    with pytest.raises(ValueError, match="needs ts_col"):
+        stream_dedup_exact(src, within="1 hour")
+    out = tmp_path / "out"
+    q = (
+        stream_dedup_exact(src, ts_col="ts", within="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert "c" in kept and len(kept) == 2  # one of a/b suppressed

@@ -1080,6 +1080,71 @@ _PDF_FILTER_RE = re.compile(
     rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))", re.DOTALL
 )
 _PDF_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PDF_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_PDF_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_PDF_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_PDF_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _pdf_unpredict(dict_bytes: bytes, data: bytes) -> bytes:
+    """Undo /DecodeParms predictors on Flate/LZW output (PDF 32000-1
+    §7.4.4.4): TIFF predictor 2 (horizontal byte differencing) and the
+    PNG per-row filters 0-4 (None/Sub/Up/Average/Paeth — real writers
+    predict XRef streams with PNG Up). No /Predictor (or 1) is the
+    identity. Row geometry from /Columns × /Colors × /BitsPerComponent
+    (defaults 1, 1, 8; sub-byte depths are out of the subset and pass
+    through)."""
+    pm = _PDF_PREDICTOR_RE.search(dict_bytes)
+    if not pm:
+        return data
+    pred = int(pm.group(1))
+    if pred <= 1:
+        return data
+    cols = int(m.group(1)) if (m := _PDF_COLUMNS_RE.search(dict_bytes)) else 1
+    colors = int(m.group(1)) if (m := _PDF_COLORS_RE.search(dict_bytes)) else 1
+    bpc = int(m.group(1)) if (m := _PDF_BPC_RE.search(dict_bytes)) else 8
+    if bpc % 8:
+        return data
+    bpp = colors * (bpc // 8)
+    rowlen = cols * bpp
+    if rowlen <= 0:
+        return data
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r0 + bpp, r0 + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: each row is 1 filter-tag byte + rowlen data
+    out = bytearray()
+    prev = bytearray(rowlen)
+    stride = rowlen + 1
+    for r0 in range(0, len(data) - stride + 1, stride):
+        ftype = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + 1 + rowlen])
+        for i in range(rowlen):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ftype == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ftype == 3:
+                row[i] = (row[i] + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                row[i] = (row[i] + _paeth_pred(a, b, c)) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _paeth_pred(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
 
 
 def _inflate_pdf_stream(dict_bytes: bytes, data: bytes) -> bytes:
@@ -1109,8 +1174,10 @@ def _inflate_pdf_stream(dict_bytes: bytes, data: bytes) -> bytes:
                     continue
             else:
                 return b""
+            data = _pdf_unpredict(dict_bytes, data)
         elif name == b"LZWDecode" or name == b"LZW":
             data = _pdf_lzw_decode(data.rstrip(b"\r\n"))
+            data = _pdf_unpredict(dict_bytes, data)
         elif name == b"ASCII85Decode" or name == b"A85":
             data = _pdf_ascii85_decode(data)
         elif name == b"ASCIIHexDecode" or name == b"AHx":

@@ -1114,3 +1114,78 @@ def test_codec_property_fuzz():
     lzw_roundtrip()
     aes_roundtrip()
     a85_matches_stdlib()
+
+
+def test_pdf_flate_predictors():
+    """/DecodeParms predictor support (PDF 32000-1 §7.4.4.4): TIFF
+    horizontal differencing and PNG Sub/Up/Average/Paeth rows undo
+    exactly; a Flate+PNG-Up content stream decodes end-to-end; no
+    /Predictor is the identity."""
+    import random
+    import zlib
+
+    from extractthinker_spark.operators.rawbytes import (
+        _pdf_unpredict,
+        decode_pdf_pages,
+    )
+
+    random.seed(3)
+    rows = [bytes(random.randrange(256) for _ in range(4))
+            for _ in range(6)]
+    flat = b"".join(rows)
+
+    def png_encode(ftype: int) -> bytes:
+        out = bytearray()
+        prev = bytes(4)
+        for r in rows:
+            out.append(ftype)
+            for i in range(4):
+                a = r[i - 1] if i >= 1 else 0
+                b = prev[i]
+                c = prev[i - 1] if i >= 1 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                out.append((r[i] - pred) & 0xFF)
+            prev = r
+        return bytes(out)
+
+    for ftype in range(5):
+        assert _pdf_unpredict(
+            b"/Predictor 12 /Columns 4", png_encode(ftype)
+        ) == flat, ftype
+    tiff = b"".join(
+        bytes([(r[i] - (r[i - 1] if i else 0)) & 0xFF for i in range(4)])
+        for r in rows
+    )
+    assert _pdf_unpredict(b"/Predictor 2 /Columns 4", tiff) == flat
+    assert _pdf_unpredict(b"/Filter /FlateDecode", b"abc") == b"abc"
+
+    content = b"BT (predicted page) Tj ET"
+    cols = 5
+    padded = content + b" " * ((-len(content)) % cols)
+    enc = bytearray()
+    prev = bytes(cols)
+    for i in range(0, len(padded), cols):
+        row = padded[i : i + cols]
+        enc.append(2)
+        enc += bytes((x - p) & 0xFF for x, p in zip(row, prev))
+        prev = row
+    payload = zlib.compress(bytes(enc))
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(payload)).encode()
+        + b" /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns 5 >> >>\nstream\n"
+        + payload + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert decode_pdf_pages(pdf) == ["predicted page"]

@@ -60,6 +60,7 @@ MIME_TYPE_MAPPING: dict[str, list[str]] = {
     "xlsx": ["application/vnd.openxmlformats-officedocument"
              ".spreadsheetml.sheet"],
     "ods": ["application/vnd.oasis.opendocument.spreadsheet"],
+    "odp": ["application/vnd.oasis.opendocument.presentation"],
     "csv": ["text/csv", "application/csv"],
     "tsv": ["text/tab-separated-values"],
     # presentations
@@ -175,6 +176,7 @@ _ZIP_MARKERS = [
     ("pptx", "ppt/"),
     ("odt", "mimetypeapplication/vnd.oasis.opendocument.text"),
     ("ods", "mimetypeapplication/vnd.oasis.opendocument.spreadsheet"),
+    ("odp", "mimetypeapplication/vnd.oasis.opendocument.presentation"),
     ("epub", "mimetypeapplication/epub"),
 ]
 # OLE2/CFB directory stream names (UTF-16LE in the directory sectors):
@@ -1784,6 +1786,28 @@ def decode_odt_pages(b: bytes) -> list[str]:
     return [text] if text else []
 
 
+_ODP_PAGE_RE = re.compile(
+    r"<draw:page\b[^>]*>(.*?)</draw:page>", re.DOTALL
+)
+
+
+def decode_odp_pages(b: bytes) -> list[str]:
+    """OpenDocument presentation → one page per ``draw:page``: the
+    slide's paragraph/heading text elements (inside draw frames),
+    markup-stripped and XML-unescaped, joined with newlines — the
+    same slide-per-page convention as decode_pptx_pages."""
+    with zipfile.ZipFile(BytesIO(b)) as z:
+        xml = z.read("content.xml").decode("utf-8")
+    pages = []
+    for body in _ODP_PAGE_RE.findall(xml):
+        paras = [
+            _xml_unescape(_TAG_RE.sub("", p))
+            for p in _ODT_P_RE.findall(body)
+        ]
+        pages.append("\n".join(p for p in paras if p))
+    return pages
+
+
 def decode_ods_sheets(b: bytes) -> list[tuple[str, str]]:
     """(sheet_name, content) pages from an OpenDocument spreadsheet —
     the same page semantics as decode_xlsx_sheets: each row's cells
@@ -2414,6 +2438,8 @@ def _refine_zip(b: bytes) -> str:
                     return "odt"
                 if "opendocument.spreadsheet" in mt:
                     return "ods"
+                if "opendocument.presentation" in mt:
+                    return "odp"
                 if "epub" in mt:
                     return "epub"
     except Exception:  # noqa: BLE001 — refinement is best-effort
@@ -2534,11 +2560,12 @@ def parse_raw_bytes(
         if fmt == "pdf":
             for i, page in enumerate(decode_pdf_pages(b)):
                 out.append(span("pdf_text", f"\fPAGE {i + 1}\n{page}", None, i))
-        elif fmt in ("docx", "pptx", "odt", "rtf"):
+        elif fmt in ("docx", "pptx", "odt", "odp", "rtf"):
             decoder = {
                 "docx": decode_docx_pages,
                 "pptx": decode_pptx_pages,
                 "odt": decode_odt_pages,
+                "odp": decode_odp_pages,
                 "rtf": decode_rtf_pages,
             }[fmt]
             for i, page in enumerate(decoder(b)):
@@ -3126,6 +3153,31 @@ def make_fixture_odt(paragraphs: list[str]) -> bytes:
             "content.xml",
             f"<office:document-content><office:body><office:text>{body}"
             "</office:text></office:body></office:document-content>",
+        )
+    return buf.getvalue()
+
+
+def make_fixture_odp(slides: list[list[str]]) -> bytes:
+    """Deterministic in-memory odp (real zip, mimetype-first): one
+    draw:page per slide, each bullet a text:p inside a draw frame."""
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr(
+            "mimetype", "application/vnd.oasis.opendocument.presentation"
+        )
+        pages = ""
+        for i, bullets in enumerate(slides):
+            body = "".join(
+                f"<draw:frame><draw:text-box><text:p>{_xml_escape(t)}"
+                "</text:p></draw:text-box></draw:frame>"
+                for t in bullets
+            )
+            pages += f'<draw:page draw:name="page{i + 1}">{body}</draw:page>'
+        z.writestr(
+            "content.xml",
+            "<office:document-content><office:body><office:presentation>"
+            f"{pages}</office:presentation></office:body>"
+            "</office:document-content>",
         )
     return buf.getvalue()
 

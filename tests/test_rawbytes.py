@@ -1189,3 +1189,31 @@ def test_pdf_flate_predictors():
         + payload + b"\nendstream\nendobj\n%%EOF"
     )
     assert decode_pdf_pages(pdf) == ["predicted page"]
+
+
+def test_odp_decode_and_dispatch(spark):
+    """OpenDocument presentations: mimetype-marker sniff (both
+    sniffers), slide-per-page decode with markup strip + unescape,
+    and spans dispatch through parse_raw_bytes."""
+    from extractthinker_spark.operators.rawbytes import (
+        decode_odp_pages,
+        make_fixture_odp,
+    )
+
+    odp = make_fixture_odp(
+        [["Title slide", "By Author"], ["Point one", "Point <two>"]]
+    )
+    assert sniff_bytes(odp) == "odp"
+    assert decode_odp_pages(odp) == [
+        "Title slide\nBy Author", "Point one\nPoint <two>"
+    ]
+    df = spark.createDataFrame(
+        [("p", bytearray(odp))], "doc_id string, raw binary"
+    )
+    out = parse_raw_bytes(df).collect()[0]
+    assert out["format"] == "odp"
+    assert len(out["spans"]) == 2
+    assert "Point <two>" in out["spans"][1]["text"]
+    # Catalyst sniffer agrees
+    got = df.select(detect_format_bytes(F.col("raw")).alias("f")).collect()
+    assert got[0]["f"] == "odp"

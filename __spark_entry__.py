@@ -2581,6 +2581,48 @@ def _substring_dup_sql(
     """
 
 
+def _c4_sql(line_min_words: int = 5, min_sentences: int = 3) -> str:
+    """GENERATED DuckDB twin of textstats.c4_filter — staged for the
+    next round's registry (the round-5 registry froze before this
+    operator landed; the cross-engine pin runs in pytest meanwhile)."""
+    from extractthinker_spark.functions.textstats import _C4_TERMINAL
+
+    ends = " OR ".join(
+        "suffix(trim(l), '{}')".format(t.replace("'", "''"))
+        for t in _C4_TERMINAL
+    )
+    return f"""
+        WITH k AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)),
+                   l -> ({ends})
+                        AND len(regexp_extract_all(trim(l),
+                              '[A-Za-z0-9]+')) >= {line_min_words}
+                 ) AS kept
+          FROM documents
+        ), c AS (
+          SELECT doc_id, text,
+                 -- DuckDB array_to_string([]) is NULL; Spark
+                 -- array_join([]) is '' — coalesce to match
+                 coalesce(array_to_string(kept, chr(10)), '')
+                   AS text_clean,
+                 CAST(len(kept) AS BIGINT) AS n_lines_kept
+          FROM k
+        ), r AS (
+          SELECT *, CASE
+            WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+            WHEN contains(text, '{{') THEN 'curly_brace'
+            WHEN len(regexp_extract_all(text_clean, '[.!?]'))
+                 < {min_sentences} THEN 'too_few_sentences'
+            END AS reject_reason
+          FROM c
+        )
+        SELECT doc_id, text_clean, n_lines_kept,
+               reject_reason IS NULL AS keep, reject_reason
+        FROM r
+    """
+
+
 def _tok_sum_sql(expr: str) -> str:
     """Token count of a SQL string expression — list_transform form
     (safe inside recursive CTEs where correlated unnest subqueries are

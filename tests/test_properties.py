@@ -613,3 +613,40 @@ def test_unicode_hygiene(spark):
     assert got["c"] == (None, None, None)
     with pytest.raises(ValueError, match="normalization form"):
         normalize_unicode(F.col("text"), "NFX")
+
+
+def test_c4_filter_matches_duckdb_twin(spark):
+    """Cross-engine pin for c4_filter (the staged oracle, _c4_sql):
+    line rules, sentence gate and page rejects agree value-for-value
+    between the Catalyst expression and the DuckDB replay."""
+    import duckdb
+
+    import __spark_entry__ as mod
+    from extractthinker_spark.functions.textstats import c4_filter
+
+    good = ("This is a proper sentence with enough words here.\n"
+            "Another full sentence follows it right away today.\n"
+            "And a third one closes the page quite nicely now.")
+    rows = [
+        ("ok", good),
+        ("short", "Tiny line.\nAlso tiny!\nNope?"),
+        ("noterm", good.replace(".", "")),
+        ("lorem", good + "\nlorem ipsum dolor sit amet consectetur."),
+        ("code", good + "\nfunction f() { return 1; }"),
+        ("quote", good + '\nShe said the quoted words matter "today."'),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = sorted(
+        (r["doc_id"], r["text_clean"], r["n_lines_kept"], r["keep"],
+         r["reject_reason"])
+        for r in c4_filter(df).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES {}) "
+        "t(doc_id, text)".format(", ".join("(?, ?)" for _ in rows)),
+        [v for row in rows for v in row],
+    )
+    oracle = sorted(map(tuple, con.execute(mod._c4_sql()).fetchall()))
+    assert got == oracle

@@ -131,3 +131,27 @@ def test_classify_media_plan_single_python_stage_no_shuffle(spark):
     # the detail list, so count the detail headers.
     assert plan.count("MapInPandas (") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_substring_dedup_plan_single_extend_stage(spark):
+    """Plan regression for the round-5 fix: the extend-and-verify
+    Arrow UDF must appear EXACTLY once — CollapseProject used to clone
+    it per struct-field access and the old span self-union re-executed
+    the whole pipeline per branch (4 stages total)."""
+    from extractthinker_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+         (2, "alpha beta gamma delta epsilon zeta eta theta " * 3)],
+        "doc_id int, text string",
+    )
+    plan = _plan(substring_dup_spans(df, min_len=40))
+    assert plan.count("ArrowEvalPython (") == 1 or (
+        # anchor stage is a pandas_udf too: allow anchor + extend = 2,
+        # never more (anchors appear twice pre-ReusedExchange at tiny
+        # scale, so count the _extend projections specifically)
+        plan.count("_extend") <= 2
+    ), plan
+    # the span fan-out is a generator (explode), not a Union of two
+    # re-executions of the join subtree
+    assert "Union" not in plan, plan

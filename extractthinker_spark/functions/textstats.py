@@ -843,3 +843,92 @@ def normalize_unicode(text: Column, form: str = "NFC") -> Column:
         )
 
     return _norm(text)
+
+
+# Within-script refinements for lang_id's script-level verdicts: the
+# script histogram cannot separate languages SHARING a script, but
+# each pair below has distinctive codepoints (the standard trick —
+# fastText's confusions are exactly these pairs). Counts of literal
+# character sets: deterministic, order-free.
+LANG_SCRIPT_REFINE: dict[str, list[tuple[str, str]]] = {
+    # Cyrillic: Ukrainian's і/ї/є/ґ don't exist in Russian; Russian's
+    # ы/э/ё don't exist in Ukrainian; Bulgarian lacks both sets and
+    # leans on ъ as a vowel (щ/ъ density) — checked after the other
+    # two so uk/ru evidence wins when present.
+    "ru": [("uk", "іїєґІЇЄҐ"), ("ru", "ыэёЫЭЁ"), ("bg", "ъЪ")],
+    # Arabic script: Persian adds پ/چ/ژ/گ; Urdu adds ٹ/ڈ/ڑ/ے;
+    # Arabic's ة (ta marbuta) is absent from both.
+    "ar": [("fa", "پچژگ"), ("ur", "ٹڈڑے"), ("ar", "ة")],
+}
+
+
+def lang_id_fine(text: Column) -> Column:
+    """lang_id plus within-script refinement: where the two-stage ID
+    returns a script-level verdict (Cyrillic → 'ru', Arabic script →
+    'ar'), count each candidate language's DISTINCTIVE codepoints and
+    rebadge to the strict winner (ties or zero evidence keep the
+    script default). One Arrow pass — shares lang_id_arrow's stage-1/2
+    logic, so non-refined verdicts are identical to ``lang_id``."""
+    import re as _re
+
+    script_pats = []
+    for code, ranges in LANG_SCRIPTS:
+        cls = "[" + "".join(
+            chr(lo) + "-" + chr(hi) for lo, hi in ranges
+        ) + "]"
+        script_pats.append((code, _re.compile(cls)))
+    latin_pat = _re.compile("[A-Za-z]")
+    vote_pats = [
+        (code, _re.compile(stopword_regex(code), _re.ASCII))
+        for code in sorted(LANG_STOPWORDS)
+    ]
+    refine_sets = {
+        base: [(code, set(chars)) for code, chars in rules]
+        for base, rules in LANG_SCRIPT_REFINE.items()
+    }
+
+    def base_id(t: str) -> str:
+        raw = {c: len(p.findall(t)) for c, p in script_pats}
+        kana, han = raw["ja"], raw["zh"]
+        best_s, best_s_code = -1, "und"
+        for code, _p in script_pats:
+            if code == "ja":
+                hits = kana + han if kana > 0 else 0
+            elif code == "zh":
+                hits = 0 if kana > 0 else han
+            else:
+                hits = raw[code]
+            if hits > best_s:
+                best_s, best_s_code = hits, code
+        latin = len(latin_pat.findall(t))
+        if best_s > latin:
+            return best_s_code
+        low = t.lower()
+        best_v, best_v_code = 0, "und"
+        for code, p in vote_pats:
+            hits = len(p.findall(low))
+            if hits > best_v:
+                best_v, best_v_code = hits, code
+        if best_v > 0:
+            return best_v_code
+        return best_s_code if best_s > 0 else "und"
+
+    def one(t: str | None) -> str:
+        if not t:
+            return "und"
+        base = base_id(t)
+        rules = refine_sets.get(base)
+        if not rules:
+            return base
+        best, best_code = 0, base
+        for code, chars in rules:
+            hits = sum(1 for ch in t if ch in chars)
+            if hits > best:
+                best, best_code = hits, code
+        return best_code
+
+    @F.pandas_udf("string")
+    def _lid(texts: pd.Series) -> pd.Series:
+        return pd.Series([one(t) for t in texts])
+
+    return _lid(text)

@@ -650,3 +650,42 @@ def test_c4_filter_matches_duckdb_twin(spark):
     )
     oracle = sorted(map(tuple, con.execute(mod._c4_sql()).fetchall()))
     assert got == oracle
+
+
+def test_lang_id_fine_refinement(spark):
+    """Within-script refinement: Ukrainian/Bulgarian split off the
+    Cyrillic 'ru' verdict, Persian/Urdu off the Arabic-script 'ar';
+    plain Russian/Arabic and every non-refined verdict match lang_id
+    exactly."""
+    from extractthinker_spark.functions.textstats import (
+        lang_id,
+        lang_id_fine,
+    )
+
+    rows = [
+        ("ru", "\u042d\u0442\u043e \u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 \u0441 \u0431\u0443\u043a\u0432\u0430\u043c\u0438 \u044b \u0438 \u044d\u0442\u043e"),
+        ("uk", "\u0426\u0435 \u0443\u043a\u0440\u0430\u0457\u043d\u0441\u044c\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 \u0456\u0437 \u043b\u0456\u0442\u0435\u0440\u0430\u043c\u0438 \u0457 \u0442\u0430 \u0454"),
+        ("bg", "\u0422\u043e\u0432\u0430 \u0435 \u0431\u044a\u043b\u0433\u0430\u0440\u0441\u043a\u0438 \u0442\u0435\u043a\u0441\u0442 \u0441\u044a\u0441 \u0441\u044a\u0433\u043b\u0430\u0441\u043d\u0438"),
+        ("ar", "\u0647\u0630\u0627 \u0646\u0635 \u0639\u0631\u0628\u064a \u0645\u0643\u062a\u0648\u0628 \u0628\u0627\u0644\u0644\u063a\u0629 \u0627\u0644\u0639\u0631\u0628\u064a\u0629"),
+        ("fa", "\u0627\u06cc\u0646 \u06cc\u06a9 \u0645\u062a\u0646 \u0641\u0627\u0631\u0633\u06cc \u0627\u0633\u062a \u06a9\u0647 \u067e\u0631 \u0627\u0632 \u0698 \u0648 \u06af \u0648 \u0686"),
+        ("en", "the cat and the dog of the house ran to it"),
+        ("und", "12345 !!! ???"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    fine = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", lang_id_fine(F.col("text")).alias("l")
+        ).collect()
+    }
+    assert fine == {k: k for k, _ in rows}
+    # non-refined verdicts identical to lang_id
+    base = {
+        r["doc_id"]: r["l"]
+        for r in df.select(
+            "doc_id", lang_id(F.col("text")).alias("l")
+        ).collect()
+    }
+    for k in ("en", "und", "ar", "ru"):
+        assert base[k] == fine[k]
+    assert base["uk"] == "ru" and base["fa"] == "ar"  # what fine fixes

@@ -195,21 +195,11 @@ def _q_substring_dup(spark, sf):
     in BOTH the source and the plant."""
     from extractthinker_spark.operators.dedup import substring_dup_spans
 
-    # _tp: the anchor stage is an Arrow pass over every char — it must
-    # not inherit the unsplittable single-row-group scan partitioning
-    d = (
-        _tp(spark, sf, "documents")
-        .filter(F.col("doc_id") < 100)
-        .select("doc_id", "text")
-    )
-    planted = d.filter(F.col("doc_id") < 10).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(
-            F.lit("zzhdr "), F.substring("text", 21, 80), F.lit(" zztail")
-        ).alias("text"),
-    )
+    # _tp (inside the helper): the anchor stage is an Arrow pass over
+    # every char — it must not inherit the unsplittable
+    # single-row-group scan partitioning
     return substring_dup_spans(
-        d.unionByName(planted), min_len=40, max_extend=200
+        _substr_planted_docs(spark, sf), min_len=40, max_extend=200
     )
 
 
@@ -2067,6 +2057,176 @@ def _q_truncate(spark, sf):
     return d.select("doc_id", _trunc(F.col("text")).alias("truncated"))
 
 
+# ---------------------------------------------------------------------------
+# round-5 second-session additions
+# ---------------------------------------------------------------------------
+
+
+def _c4_docs(spark, sf) -> DataFrame:
+    """Line-structured corpus for the C4 gate: the flat documents
+    table rebuilt into 3-4 lines with mixed terminal punctuation and
+    a code line planted on every 5th doc. The SQL twin replays the
+    identical construction (_C4_DOCS_SQL)."""
+    d = _tp(spark, sf, "documents")
+    t = F.col("text")
+    text2 = F.concat(
+        F.substring(t, 1, 60), F.lit(".\n"),
+        F.substring(t, 61, 40), F.lit("\n"),
+        F.substring(t, 101, 60), F.lit("!\n"),
+        F.when(
+            (F.col("doc_id") % 5) == 0,
+            F.lit("function f() { return 1; }\n"),
+        ).otherwise(F.lit("")),
+        F.substring(t, 161, 60), F.lit("?"),
+    )
+    return d.select("doc_id", text2.alias("text"))
+
+
+_C4_DOCS_SQL = """
+    SELECT doc_id,
+           substring(text, 1, 60) || '.' || chr(10)
+           || substring(text, 61, 40) || chr(10)
+           || substring(text, 101, 60) || '!' || chr(10)
+           || CASE WHEN doc_id % 5 = 0
+                   THEN 'function f() {{ return 1; }}' || chr(10)
+                   ELSE '' END
+           || substring(text, 161, 60) || '?' AS text
+    FROM documents
+"""
+
+
+def _q_c4_filter(spark, sf):
+    """C4 cleaning pass (Raffel et al. 2020): line-level terminal
+    punctuation + word-count rules, doc-level curly-brace / lorem /
+    sentence-count gates, first-failing-rule reasons."""
+    from extractthinker_spark.functions.textstats import c4_filter
+
+    return c4_filter(_c4_docs(spark, sf))
+
+
+def _q_unicode_clean(spark, sf):
+    """Unicode hygiene: strip C0/C1 controls (keep \\t \\n \\r), then
+    NFC-normalize. Planted prefix/suffix exercise both stages (a BEL
+    control, a combining acute and a combining ring); DuckDB replays
+    via regexp_replace + nfc_normalize (utf8proc and Python
+    unicodedata agree on canonical composition)."""
+    from extractthinker_spark.functions.textstats import (
+        normalize_unicode,
+        strip_control_chars,
+    )
+
+    d = _tp(spark, sf, "documents")
+    planted = F.concat(
+        F.lit("Cafe\u0301 \x07bell \ufb01x \u00ad"),
+        F.col("text"),
+        F.lit(" A\u030aend"),
+    )
+    return d.select(
+        "doc_id",
+        normalize_unicode(strip_control_chars(planted), "NFC").alias(
+            "text_clean"
+        ),
+    )
+
+
+def _q_embedding_quantize(spark, sf):
+    """Symmetric int8 embedding quantization: q = round(127*x/max|x|)
+    per vector plus the dequantize scale — pure Catalyst arithmetic,
+    replayed exactly in DuckDB (integer-valued rounding on identical
+    doubles)."""
+    from extractthinker_spark.operators.similarity import quantize_embeddings
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    return quantize_embeddings(e, "vec").select(
+        "vec_id", "qvec", "qvec_scale"
+    )
+
+
+def _q_ann_quantized(spark, sf):
+    """Quantized-scan ANN: int8 coarse scores pick a 50-wide
+    shortlist (the scan reads 1/4 the bytes), exact float cosine
+    re-ranks. The DuckDB oracle replays both stages — integer dot
+    products are exact, the coarse ordering ties break on
+    neighbor_id."""
+    from extractthinker_spark.operators.similarity import ann_topk_quantized
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    return ann_topk_quantized(e, q, key="vec_id", vec_col="vec", k=5,
+                              shortlist=50)
+
+
+def _substr_planted_docs(spark, sf) -> DataFrame:
+    """The substring-dedup planted corpus (shared by
+    _q_substring_dup and _q_remove_substrings)."""
+    d = (
+        _tp(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("zzhdr "), F.substring("text", 21, 80), F.lit(" zztail")
+        ).alias("text"),
+    )
+    return d.unionByName(planted)
+
+
+def _q_remove_substrings(spark, sf):
+    """Apply substring_dup_spans output: splice every flagged
+    interval out of the text (Lee et al. 2022 remove-all policy).
+    The oracle recomputes the spans via _substring_dup_sql, then
+    rebuilds each doc as the concatenation of inter-span gaps —
+    algebraically identical to the Spark descending-splice fold."""
+    from extractthinker_spark.operators.dedup import (
+        remove_substring_spans,
+        substring_dup_spans,
+    )
+
+    docs = _substr_planted_docs(spark, sf)
+    spans = substring_dup_spans(docs, min_len=40, max_extend=200)
+    return remove_substring_spans(docs, spans)
+
+
+_LANGID_FINE_PLANTS: list[tuple[int, str]] = [
+    (900001, "Це українська мова і її ознаки ґрунтовні"),
+    (900002, "Это русская фраза и её особенности ыэё"),
+    (900003, "Това е български текст със ъгъл и още щрихи"),
+    (900004, "هذه جملة عربية مع علامة مميزة"),
+    (900005, "این یک جمله فارسی است با پ و گ و ژ"),
+    (900006, "یہ اردو کا جملہ ہے جس میں ٹ ڈ ے ہیں"),
+    (900007, "Собака пёс юг еда письмо"),
+]
+
+
+def _q_langid_fine(spark, sf):
+    """lang_id plus within-script refinement (Cyrillic ru/uk/bg,
+    Arabic-script ar/fa/ur via distinctive codepoints). Plants one
+    fixture per refined language on top of the documents slice so
+    every refinement branch is exercised; non-refined verdicts equal
+    lang_id exactly."""
+    from extractthinker_spark.functions.textstats import lang_id_fine
+
+    d = (
+        _tp(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    p = spark.createDataFrame(
+        _LANGID_FINE_PLANTS, "doc_id long, text string"
+    )
+    return d.unionByName(p).select(
+        "doc_id", lang_id_fine(F.col("text")).alias("pred_lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2129,6 +2289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": _q_substring_dup,
         "pdf_encoding_spans": _q_pdf_encoding_spans,
         "jpeg_dc_features": _q_jpeg_dc_features,
+        "c4_filter": _q_c4_filter,
+        "unicode_clean": _q_unicode_clean,
+        "embedding_quantize": _q_embedding_quantize,
+        "ann_topk_quantized": _q_ann_quantized,
+        "remove_substrings": _q_remove_substrings,
+        "langid_fine": _q_langid_fine,
     }
 
 
@@ -2140,7 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 
 
-def _langid_sql() -> str:
+def _langid_sql(table: str = "documents") -> str:
     """GENERATED twin of textstats.lang_id: per-script character
     counts (kana rule for zh/ja), ASCII-letter count, 20-language
     stopword vote — same tables, same precedence, same tie-breaks."""
@@ -2192,7 +2358,7 @@ def _langid_sql() -> str:
                  length(text) - length(
                    regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
                  {raw}, {votes}
-          FROM documents
+          FROM {table}
         ), s AS (
           SELECT *, {", ".join(scored)} FROM c
         ), g AS (SELECT *, {sm} AS sm, {vm} AS vm FROM s)
@@ -2581,10 +2747,13 @@ def _substring_dup_sql(
     """
 
 
-def _c4_sql(line_min_words: int = 5, min_sentences: int = 3) -> str:
-    """GENERATED DuckDB twin of textstats.c4_filter — staged for the
-    next round's registry (the round-5 registry froze before this
-    operator landed; the cross-engine pin runs in pytest meanwhile)."""
+def _c4_sql(
+    line_min_words: int = 5, min_sentences: int = 3,
+    table: str = "documents",
+) -> str:
+    """GENERATED DuckDB twin of textstats.c4_filter (cross-engine pin
+    in tests/test_properties.py; registry query uses a line-structured
+    construction over the documents table via ``table``)."""
     from extractthinker_spark.functions.textstats import _C4_TERMINAL
 
     ends = " OR ".join(
@@ -2599,7 +2768,7 @@ def _c4_sql(line_min_words: int = 5, min_sentences: int = 3) -> str:
                         AND len(regexp_extract_all(trim(l),
                               '[A-Za-z0-9]+')) >= {line_min_words}
                  ) AS kept
-          FROM documents
+          FROM {table}
         ), c AS (
           SELECT doc_id, text,
                  -- DuckDB array_to_string([]) is NULL; Spark
@@ -2620,6 +2789,86 @@ def _c4_sql(line_min_words: int = 5, min_sentences: int = 3) -> str:
         SELECT doc_id, text_clean, n_lines_kept,
                reject_reason IS NULL AS keep, reject_reason
         FROM r
+    """
+
+
+def _remove_substrings_sql() -> str:
+    """GENERATED twin of dedup.remove_substring_spans over the planted
+    substring corpus: recompute the spans via _substring_dup_sql, then
+    rebuild each doc as the ordered concatenation of inter-span gaps —
+    algebraically identical to the Spark descending-splice fold
+    (spans are merged and non-overlapping by construction)."""
+    return f"""
+        WITH sp AS ({_substring_dup_sql()}),
+        docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT doc_id + 100000,
+                 'zzhdr ' || substring(text, 21, 80) || ' zztail'
+          FROM documents WHERE doc_id < 10),
+        seg AS (
+          SELECT d.doc_id, d.text, s.dup_start AS s, s.dup_end AS e,
+                 lag(s.dup_end, 1, CAST(1 AS BIGINT)) OVER (
+                   PARTITION BY d.doc_id ORDER BY s.dup_start) AS ps
+          FROM docs d JOIN sp s ON d.doc_id = s.doc_id),
+        parts AS (
+          SELECT doc_id,
+                 string_agg(substring(text, ps, s - ps),
+                            '' ORDER BY s) AS head,
+                 max(e) AS last_e,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(e - s) AS BIGINT) AS rem
+          FROM seg GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN p.doc_id IS NULL THEN d.text
+                    ELSE coalesce(p.head, '')
+                         || substring(d.text, p.last_e) END AS text_clean,
+               coalesce(p.n, 0) AS n_spans_removed,
+               coalesce(p.rem, 0) AS n_chars_removed
+        FROM docs d LEFT JOIN parts p ON d.doc_id = p.doc_id
+    """
+
+
+def _langid_fine_sql() -> str:
+    """GENERATED twin of textstats.lang_id_fine: _langid_sql over the
+    plants-union table, then per-base sequential-winner refinement on
+    distinctive-codepoint counts (a later rule wins only by strictly
+    beating every earlier rule's count; ties keep the earlier rule;
+    zero evidence keeps the script-level default)."""
+    from extractthinker_spark.functions.textstats import LANG_SCRIPT_REFINE
+
+    plants = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in _LANGID_FINE_PLANTS
+    )
+    hit_cols, cases = [], []
+    for base, rules in sorted(LANG_SCRIPT_REFINE.items()):
+        for code, chars in rules:
+            hit_cols.append(
+                "length(text) - length(regexp_replace(text, "
+                f"'[{chars}]', '', 'g')) AS h_{base}_{code}"
+            )
+        branches = []
+        for i in range(len(rules) - 1, -1, -1):
+            code = rules[i][0]
+            conds = [f"h_{base}_{code} > 0"] + [
+                f"h_{base}_{code} > h_{base}_{rules[j][0]}"
+                for j in range(i)
+            ]
+            branches.append(f"WHEN {' AND '.join(conds)} THEN '{code}'")
+        cases.append(
+            f"WHEN pred_lang = '{base}' THEN "
+            f"CASE {' '.join(branches)} ELSE '{base}' END"
+        )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL {plants}
+        ), base AS ({_langid_sql(table="t")}),
+        h AS (SELECT doc_id, {", ".join(hit_cols)} FROM t)
+        SELECT b.doc_id,
+               CASE {" ".join(cases)} ELSE b.pred_lang END AS pred_lang
+        FROM base b JOIN h ON b.doc_id = h.doc_id
     """
 
 
@@ -3272,4 +3521,81 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_topk_ivf"] = _ivf_sql(
         n_lists=16, n_probe=4, iters=2, sample_pct=60, dim=64, k=5
     )
+    sql["c4_filter"] = _c4_sql(
+        table="(" + _C4_DOCS_SQL.format() + ") src"
+    )
+    # unicode_clean: strip C0/C1 controls (keep \t \n \r) THEN
+    # NFC-normalize — utf8proc (DuckDB) and Python unicodedata agree
+    # on canonical composition; the plant exercises a BEL control, a
+    # combining acute (Cafe+U+0301), the fi ligature (NFC-invariant),
+    # a soft hyphen (not a control, kept) and a combining ring.
+    sql["unicode_clean"] = """
+        SELECT doc_id,
+               nfc_normalize(regexp_replace(
+                 'Cafe' || chr(769) || ' ' || chr(7) || 'bell '
+                 || chr(64257) || 'x ' || chr(173) || text
+                 || ' A' || chr(778) || 'end',
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]',
+                 '', 'g')) AS text_clean
+        FROM documents
+    """
+    # embedding_quantize: q_i = round(127*x_i/max|x|)::TINYINT, scale
+    # = max|x|/127. Both engines evaluate (x*127.0)/amax left-assoc on
+    # identical doubles and round half-away-from-zero.
+    sql["embedding_quantize"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        a AS (SELECT vec_id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)),
+                                    'max') AS amax
+              FROM e)
+        SELECT vec_id,
+               list_transform(v, x -> CASE WHEN amax > 0
+                 THEN round(x * 127.0 / amax, 0)::TINYINT
+                 ELSE 0::TINYINT END) AS qvec,
+               CASE WHEN amax > 0 THEN amax / 127.0
+                    ELSE 0.0 END AS qvec_scale
+        FROM a
+    """
+    # ann_topk_quantized: int8 coarse scores (exact integer dot /
+    # sqrt(int) neighbor norm — bitwise identical doubles) pick the
+    # 50-wide shortlist, exact float cosine re-ranks; ties break on
+    # neighbor_id at both stages.
+    sql["ann_topk_quantized"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        a AS (SELECT vec_id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)),
+                                    'max') AS amax
+              FROM e),
+        q8 AS (SELECT vec_id, v,
+                      list_transform(v, x -> CASE WHEN amax > 0
+                        THEN round(x * 127.0 / amax, 0)::INT
+                        ELSE 0 END) AS c8
+               FROM a),
+        sc AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 q.v AS qv, n.v AS nv,
+                 list_sum(list_transform(generate_series(1, len(q.c8)),
+                   i -> q.c8[i] * n.c8[i])) AS qdot,
+                 sqrt(list_sum(
+                   list_transform(n.c8, x -> x * x))::DOUBLE) AS qnorm
+          FROM q8 q JOIN q8 n
+            ON q.vec_id < 20 AND q.vec_id <> n.vec_id),
+        sh AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY CASE WHEN qnorm > 0 THEN qdot / qnorm
+                             END DESC, neighbor_id) AS sr
+          FROM sc),
+        ex AS (
+          SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+          FROM sh WHERE sr <= 50)
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+          FROM ex) WHERE rnk <= 5
+    """
+    sql["remove_substrings"] = _remove_substrings_sql()
+    sql["langid_fine"] = _langid_fine_sql()
     return sql

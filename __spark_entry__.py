@@ -2227,6 +2227,47 @@ def _q_langid_fine(spark, sf):
     )
 
 
+def _q_eml_extract(spark, sf):
+    """RFC 5322/MIME ingest, value-level: by-construction multipart
+    messages — RFC 2047 base64 subject, quoted-printable UTF-8 plain
+    part, base64 html alternative on odd doc_ids (which then wins the
+    RFC 2046 §5.1.4 alternative pick), PDF attachment on doc_id%3==0 —
+    through the REAL stdlib-email walk inside parse_raw_bytes
+    (operators/email_mime.py; the reference routes mail-ish content
+    through MarkItDown's stdlib walk,
+    document_loader_markitdown.py). The oracle replays the
+    by-construction spans: decode(encode(x)) == x."""
+    from extractthinker_spark.operators.email_mime import make_fixture_eml
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    d = _tp(spark, sf, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            raws = [
+                make_fixture_eml(
+                    t[:160] + " café",
+                    subject=f"Msg {i} café",
+                    html=bool(i % 2),
+                    attach=(f"report_{i}.pdf" if i % 3 == 0 else None),
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    raw = d.mapInPandas(build, schema="doc_id long, raw binary")
+    return parse_raw_bytes(raw).select(
+        "doc_id", "format", F.explode("spans").alias("s")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "format",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("span_off"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2295,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_quantized": _q_ann_quantized,
         "remove_substrings": _q_remove_substrings,
         "langid_fine": _q_langid_fine,
+        "eml_extract": _q_eml_extract,
     }
 
 
@@ -3598,4 +3640,31 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["remove_substrings"] = _remove_substrings_sql()
     sql["langid_fine"] = _langid_fine_sql()
+    # eml_extract: by-construction replay — header block, the chosen
+    # alternative (html on odd ids), the doc_id%3 attachment ref.
+    sql["eml_extract"] = """
+        WITH d AS (SELECT doc_id,
+                          substring(text, 1, 160) || ' café' AS body
+                   FROM documents)
+        SELECT doc_id, 'eml' AS format, 'text' AS kind,
+               'Subject: Msg ' || doc_id || ' café' || chr(10) ||
+               'From: Alice <alice@example.org>' || chr(10) ||
+               'To: bob@example.org' || chr(10) ||
+               'Date: Mon, 01 Jan 2024 00:00:00 +0000' AS text,
+               CAST(NULL AS VARCHAR) AS media_ref,
+               CAST(0 AS BIGINT) AS span_off
+        FROM d
+        UNION ALL
+        SELECT doc_id, 'eml',
+               CASE WHEN doc_id % 2 = 1 THEN 'html' ELSE 'text' END,
+               CASE WHEN doc_id % 2 = 1
+                    THEN '<html><body><p>' || body || '</p></body></html>'
+                    ELSE body END,
+               CAST(NULL AS VARCHAR), CAST(1 AS BIGINT)
+        FROM d
+        UNION ALL
+        SELECT doc_id, 'eml', 'media', CAST(NULL AS VARCHAR),
+               'attach:report_' || doc_id || '.pdf', CAST(2 AS BIGINT)
+        FROM d WHERE doc_id % 3 = 0
+    """
     return sql

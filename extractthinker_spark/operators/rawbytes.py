@@ -279,6 +279,15 @@ def detect_format_bytes(raw: Column) -> Column:
             expr = expr.when(head_hex.startswith(magic), fmt)
         # UTF-8 text sniff (reference: extension/MIME; here content):
         # txt is NULL when the head is not valid UTF-8
+        from extractthinker_spark.operators.email_mime import EML_HEADERS
+
+        mbox_hdrs = None  # a From_ first line plus any header line below
+        eml_first = None  # an RFC 5322 header field on the FIRST line
+        for h in EML_HEADERS:
+            c1 = txt.contains("\n" + h)
+            c2 = txt.startswith(h)
+            mbox_hdrs = c1 if mbox_hdrs is None else (mbox_hdrs | c1)
+            eml_first = c2 if eml_first is None else (eml_first | c2)
         return (
             expr.when(txt.isNull(), F.lit("unknown"))
             .when(txt.startswith("<!doctype html"), "html")
@@ -286,6 +295,8 @@ def detect_format_bytes(raw: Column) -> Column:
             .when(txt.startswith("<?xml"), "xml")
             .when(txt.startswith("<svg"), "svg")
             .when(txt.startswith("{") | txt.startswith("["), "json")
+            .when(txt.startswith("from ") & mbox_hdrs, "mbox")
+            .when(eml_first, "eml")
             .otherwise(F.lit("txt"))
         )
 
@@ -379,6 +390,12 @@ def sniff_bytes(b: bytes | None) -> str:
     ):
         if t.startswith(prefix):
             return fmt
+    from extractthinker_spark.operators.email_mime import EML_HEADERS
+
+    if t.startswith("from ") and any(("\n" + h) in t for h in EML_HEADERS):
+        return "mbox"
+    if any(t.startswith(h) for h in EML_HEADERS):
+        return "eml"
     return "txt"
 
 
@@ -2573,6 +2590,20 @@ def parse_raw_bytes(
         elif fmt == "epub":
             for i, chapter in enumerate(decode_epub_chapters(b)):
                 out.append(span("html", chapter, None, i))
+        elif fmt in ("eml", "mbox"):
+            from extractthinker_spark.operators.email_mime import (
+                decode_eml_spans,
+                decode_mbox_messages,
+            )
+
+            msgs = [b] if fmt == "eml" else decode_mbox_messages(b)
+            k = 0
+            for mb in msgs:
+                for kind, text, ref in decode_eml_spans(mb):
+                    out.append(span(kind, text, ref, k))
+                    k += 1
+            if not out:  # identified but empty archive: stay countable
+                out.append(span("media", None, f"bytes:{fmt}", 0))
         elif fmt in ("xlsx", "ods"):
             decoder = decode_xlsx_sheets if fmt == "xlsx" else decode_ods_sheets
             for i, (name, content) in enumerate(decoder(b)):

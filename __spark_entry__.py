@@ -2268,6 +2268,37 @@ def _q_eml_extract(spark, sf):
     )
 
 
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 1.0, "src3": 1.25}
+
+
+def _q_sample_split(spark, sf):
+    """Deterministic 30 % corpus sample then a 25 % leak-proof
+    heldout split — both pure functions of the md5-portable key hash,
+    so DuckDB replays them exactly (NOTES.md hex→BIGINT parity)."""
+    from extractthinker_spark.operators.sampling import (
+        hash_sample,
+        split_train_heldout,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return split_train_heldout(
+        hash_sample(d, 0.3, seed="s1"), 0.25, seed="sp"
+    )
+
+
+def _q_mix_weighted(spark, sf):
+    """Weighted source mixing (training-mixture recipe): 2.5 epochs of
+    src0, half of src1, one of src2, 1.25 of src3, everything else
+    dropped. The oracle replays ⌊w⌋ + hash-fraction via
+    generate_series."""
+    from extractthinker_spark.operators.sampling import mix_sources
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return mix_sources(d, _MIX_WEIGHTS).select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2337,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_substrings": _q_remove_substrings,
         "langid_fine": _q_langid_fine,
         "eml_extract": _q_eml_extract,
+        "sample_split": _q_sample_split,
+        "mix_weighted": _q_mix_weighted,
     }
 
 
@@ -3640,6 +3673,46 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["remove_substrings"] = _remove_substrings_sql()
     sql["langid_fine"] = _langid_fine_sql()
+
+    from extractthinker_spark.operators.sampling import _threshold
+
+    def uh(seed: str) -> str:
+        # GENERATED twin of sampling.portable_unit_hash (NOTES.md #8:
+        # 15 hex nibbles < 2^63 in both engines)
+        return (
+            "('0x' || substring(md5(doc_id::VARCHAR || '|"
+            + seed
+            + "'), 1, 15))::BIGINT"
+        )
+
+    sql["sample_split"] = f"""
+        SELECT doc_id, lang,
+               CASE WHEN {uh("sp")} < {_threshold(0.25)}
+                    THEN 'heldout' ELSE 'train' END AS split
+        FROM documents
+        WHERE {uh("s1")} < {_threshold(0.3)}
+    """
+    _mix_fl = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    _mix_fr = " ".join(
+        f"WHEN '{s}' THEN {_threshold(w - int(w))}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    sql["mix_weighted"] = f"""
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source {_mix_fl} ELSE 0 END AS fl,
+                 CASE source {_mix_fr} ELSE 0 END AS fr
+          FROM documents),
+        n AS (
+          SELECT doc_id, source,
+                 fl + CASE WHEN {uh("mix")} < fr THEN 1 ELSE 0 END AS nc
+          FROM w)
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(0, nc - 1)) AS BIGINT) AS epoch
+        FROM n WHERE nc > 0
+    """
     # eml_extract: by-construction replay — header block, the chosen
     # alternative (html on odd ids), the doc_id%3 attachment ref.
     sql["eml_extract"] = """

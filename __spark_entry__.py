@@ -2299,6 +2299,32 @@ def _q_mix_weighted(spark, sf):
     )
 
 
+def _q_bloom_dedup(spark, sf):
+    """Incremental shard-vs-corpus dedup through the Bloom pipeline:
+    corpus = doc_id >= 100; shard = doc_id < 100 with every 5th row's
+    text REPLACED by its +100 corpus donor (planted true dups). The
+    oracle replays build/probe/verify bit-for-bit (md5-half double
+    hashing, 63-bit words)."""
+    from extractthinker_spark.operators.bloom import dedup_against_corpus
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") >= 100)
+    donor = d.select(
+        (F.col("doc_id") - 100).alias("doc_id"), F.col("text").alias("dtext")
+    )
+    shard = (
+        d.filter(F.col("doc_id") < 100)
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when((F.col("doc_id") % 5) == 0, F.col("dtext"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return dedup_against_corpus(shard, corpus, m_bits=1 << 14, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2370,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eml_extract": _q_eml_extract,
         "sample_split": _q_sample_split,
         "mix_weighted": _q_mix_weighted,
+        "bloom_dedup_incremental": _q_bloom_dedup,
     }
 
 
@@ -3673,6 +3700,50 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["remove_substrings"] = _remove_substrings_sql()
     sql["langid_fine"] = _langid_fine_sql()
+    # bloom_dedup_incremental: bit-exact replay of build → probe →
+    # verify (Kirsch–Mitzenmacher g_i = (h1 + i·h2) mod m over md5
+    # halves, 63-bit bit_or words, bool_and probe, digest verify).
+    _BM, _BK = 1 << 14, 5
+    sql["bloom_dedup_incremental"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        corpus AS (SELECT doc_id, text FROM d WHERE doc_id >= 100),
+        shard AS (
+          SELECT s.doc_id,
+                 CASE WHEN s.doc_id % 5 = 0 THEN c.text
+                      ELSE s.text END AS text
+          FROM d s LEFT JOIN d c ON c.doc_id = s.doc_id + 100
+          WHERE s.doc_id < 100),
+        cg AS (
+          SELECT ((h1 + i * h2) % {_BM}) AS g FROM (
+            SELECT ('0x' || substring(md5(text), 1, 15))::BIGINT AS h1,
+                   ('0x' || substring(md5(text), 17, 15))::BIGINT AS h2
+            FROM corpus),
+            unnest(generate_series(0, {_BK - 1})) AS t(i)),
+        bw AS (
+          SELECT g // 63 AS word,
+                 bit_or(1::BIGINT << (g % 63)::INT) AS bits
+          FROM cg GROUP BY 1),
+        sp AS (
+          SELECT doc_id, ((h1 + i * h2) % {_BM}) AS g FROM (
+            SELECT doc_id,
+                   ('0x' || substring(md5(text), 1, 15))::BIGINT AS h1,
+                   ('0x' || substring(md5(text), 17, 15))::BIGINT AS h2
+            FROM shard),
+            unnest(generate_series(0, {_BK - 1})) AS t(i)),
+        sm AS (
+          SELECT doc_id,
+                 bool_and((coalesce(bits, 0)
+                           & (1::BIGINT << (g % 63)::INT)) <> 0)
+                   AS bloom_maybe
+          FROM sp LEFT JOIN bw ON sp.g // 63 = bw.word
+          GROUP BY doc_id),
+        dups AS (
+          SELECT s.doc_id FROM shard s
+          WHERE md5(s.text) IN (SELECT md5(text) FROM corpus))
+        SELECT sm.doc_id, sm.bloom_maybe,
+               (dups.doc_id IS NOT NULL) AS is_dup
+        FROM sm LEFT JOIN dups ON sm.doc_id = dups.doc_id
+    """
 
     from extractthinker_spark.operators.sampling import _threshold
 

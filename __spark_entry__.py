@@ -2325,6 +2325,52 @@ def _q_bloom_dedup(spark, sf):
     return dedup_against_corpus(shard, corpus, m_bits=1 << 14, k=5)
 
 
+def _q_text_embed(spark, sf):
+    """Feature-hashed signed-count embedding (Weinberger et al. 2009)
+    over raw document text — the deterministic text→vector bridge into
+    the ANN family. Arrow production path; the oracle replays the
+    md5-bucket/sign arithmetic per token (integer-valued accumulation,
+    one sqrt, one division — no FP-order divergence)."""
+    from extractthinker_spark.functions.embeddings import embed_documents
+
+    d = (
+        _tp(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    return embed_documents(d, dim=32)
+
+
+def _q_text_near_dup(spark, sf):
+    """Text → hashed embedding → cosine near-dup pairs end-to-end.
+    Per-doc DISTINCT vocabulary (md5-derived 4-char tokens, identical
+    construction in DuckDB) so cross-doc cosine ≈ 0; planted copies
+    (+100000) share 8 of 10 tokens → cos ≈ 0.894, comfortably off the
+    0.8 threshold in both engines."""
+    from extractthinker_spark.functions.embeddings import embed_documents
+    from extractthinker_spark.operators.similarity import cosine_near_dups
+
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = (
+        _tp(spark, sf, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.substring(h, 1 + 4 * i, 4) for i in range(8)]
+            ).alias("text"),
+        )
+    )
+    planted = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzed ygg")).alias("text"),
+    )
+    e = embed_documents(base.unionByName(planted), dim=32)
+    return cosine_near_dups(
+        e, key="doc_id", vec_col="vec", threshold=0.8, exact=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2397,6 +2443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _q_sample_split,
         "mix_weighted": _q_mix_weighted,
         "bloom_dedup_incremental": _q_bloom_dedup,
+        "text_embed_hashed": _q_text_embed,
+        "text_near_dup_hashed": _q_text_near_dup,
     }
 
 
@@ -2972,6 +3020,56 @@ def _langid_fine_sql() -> str:
                CASE {" ".join(cases)} ELSE b.pred_lang END AS pred_lang
         FROM base b JOIN h ON b.doc_id = h.doc_id
     """
+
+
+def _hashed_emb_sql(src: str, dim: int = 32, seed: str = "emb") -> str:
+    """GENERATED twin of functions/embeddings.hashed_embedding over a
+    ``src`` subquery yielding (doc_id, text): md5-half bucket/sign per
+    token, dim-wide signed-count fold, L2 normalize. All accumulation
+    is integer-valued in float64, so the divisions produce bitwise the
+    same doubles as the Arrow path."""
+    from extractthinker_spark.functions.embeddings import TOKEN_RE
+
+    return f"""
+      SELECT doc_id,
+             list_transform(raw,
+               x -> CASE WHEN n > 0 THEN x / n ELSE 0.0 END) AS vec
+      FROM (
+        SELECT doc_id, raw,
+               sqrt(list_sum(list_transform(raw, x -> x * x))) AS n
+        FROM (
+          SELECT doc_id,
+                 list_transform(generate_series(0, {dim - 1}), i ->
+                   CAST(coalesce(list_sum(list_transform(pairs,
+                     q -> CASE WHEN q.b = i THEN q.s ELSE 0 END)), 0)
+                     AS DOUBLE)) AS raw
+          FROM (
+            SELECT doc_id,
+                   list_transform(
+                     regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                     t -> struct_pack(
+                       b := ('0x' || substring(md5(t || '|{seed}'),
+                             1, 15))::BIGINT % {dim},
+                       s := CASE WHEN ('0x' || substring(
+                                  md5(t || '|{seed}'), 17, 15))::BIGINT
+                                  % 2 = 0
+                                 THEN 1 ELSE -1 END)) AS pairs
+            FROM {src})))
+    """
+
+
+_NEAR_DUP_SRC_SQL = """
+    (SELECT doc_id,
+            substring(md5(doc_id::VARCHAR), 1, 4) || ' ' ||
+            substring(md5(doc_id::VARCHAR), 5, 4) || ' ' ||
+            substring(md5(doc_id::VARCHAR), 9, 4) || ' ' ||
+            substring(md5(doc_id::VARCHAR), 13, 4) || ' ' ||
+            substring(md5(doc_id::VARCHAR), 17, 4) || ' ' ||
+            substring(md5(doc_id::VARCHAR), 21, 4) || ' ' ||
+            substring(md5(doc_id::VARCHAR), 25, 4) || ' ' ||
+            substring(md5(doc_id::VARCHAR), 29, 4) AS text
+     FROM documents WHERE doc_id < 80)
+"""
 
 
 def _tok_sum_sql(expr: str) -> str:
@@ -3700,6 +3798,22 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["remove_substrings"] = _remove_substrings_sql()
     sql["langid_fine"] = _langid_fine_sql()
+    sql["text_embed_hashed"] = _hashed_emb_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 200)"
+    )
+    sql["text_near_dup_hashed"] = f"""
+        WITH src AS (
+          SELECT doc_id, text FROM {_NEAR_DUP_SRC_SQL}
+          UNION ALL
+          SELECT doc_id + 100000, text || ' zzed ygg'
+          FROM {_NEAR_DUP_SRC_SQL} WHERE doc_id < 20),
+        e AS ({_hashed_emb_sql("src")})
+        SELECT a, b, cos_sim FROM (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 round(list_cosine_similarity(x.vec, y.vec), 6) AS cos_sim
+          FROM e x JOIN e y ON x.doc_id < y.doc_id)
+        WHERE cos_sim >= 0.8
+    """
     # bloom_dedup_incremental: bit-exact replay of build → probe →
     # verify (Kirsch–Mitzenmacher g_i = (h1 + i·h2) mod m over md5
     # halves, 63-bit bit_or words, bool_and probe, digest verify).

@@ -133,6 +133,18 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "host_cap",
         "pdf_encoding_spans",
         "jpeg_dc_features",
+        "c4_filter",
+        "unicode_clean",
+        "langid_fine",
+        "remove_substrings",
+        "eml_extract",
+        "sample_split",
+        "mix_weighted",
+        "bloom_dedup_incremental",
+        "text_embed_hashed",
+        "text_near_dup_hashed",
+        "embedding_quantize",
+        "ann_topk_quantized",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

@@ -2371,6 +2371,54 @@ def _q_text_near_dup(spark, sf):
     )
 
 
+def _q_decontam_hits(spark, sf):
+    """Benchmark decontamination (GPT-3 §C / Llama 13-gram rule):
+    bench set = a 30-word window (words 3..32) of every doc_id%37==0
+    document, so collisions are planted by construction (the source
+    doc always hits its own window; low-vocab corpus text also
+    produces organic cross-doc hits). Corpus grams never shuffle —
+    the bench gram set is broadcast (operators/decontam.py); the only
+    exchange is the map-combinable per-doc hit count."""
+    from extractthinker_spark.operators.decontam import contamination_hits
+
+    d = _tp(spark, sf, "documents").select("doc_id", "text")
+    words = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0)
+    )
+    bench = d.where(F.col("doc_id") % 37 == 0).select(
+        F.array_join(F.slice(words, 3, 30), " ").alias("text")
+    )
+    return contamination_hits(d, bench, n=13).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("hits").cast("long").alias("hits"),
+        "top_gram",
+    )
+
+
+def _q_lm_score(spark, sf):
+    """CCNet-style LM quality scoring (functions/lm.py): train an
+    add-one bigram model on the even-doc_id half of the corpus
+    (vocab capped at 24 of the 31 corpus words, so <unk> is exercised
+    on both bigram sides), then score EVERY doc by mean bigram
+    log-prob. Float protocol: integer counts → one division → ln →
+    round(4) after the final division (NOTES.md margin argument).
+    Scoring is broadcast-joins + one map-combinable doc_id agg."""
+    from extractthinker_spark.functions.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    d = _tp(spark, sf, "documents").select("doc_id", "text")
+    model = train_bigram_lm(
+        d.filter(F.col("doc_id") % 2 == 0), vocab_size=24
+    )
+    return score_bigram_lm(d, model).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        "avg_logprob",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2445,6 +2493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup_incremental": _q_bloom_dedup,
         "text_embed_hashed": _q_text_embed,
         "text_near_dup_hashed": _q_text_near_dup,
+        "decontam_hits": _q_decontam_hits,
+        "lm_score": _q_lm_score,
     }
 
 
@@ -3924,5 +3974,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'eml', 'media', CAST(NULL AS VARCHAR),
                'attach:report_' || doc_id || '.pdf', CAST(2 AS BIGINT)
         FROM d WHERE doc_id % 3 = 0
+    """
+    # decontam_hits: same tokenizer as the dedup family; the bench
+    # window ws[3:32] is already lowercase words, so re-tokenizing the
+    # rebuilt string (what Spark's word_ngrams does) is the identity.
+    sql["decontam_hits"] = """
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          FROM documents),
+        dg AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(ws[i:i+12], ' '), '') AS gram
+          FROM w, unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS u(i)),
+        bw AS (SELECT ws[3:32] AS ws FROM w WHERE doc_id % 37 = 0),
+        bg AS (
+          SELECT DISTINCT coalesce(array_to_string(ws[i:i+12], ' '), '') AS gram
+          FROM bw, unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS u(i)
+          WHERE length(coalesce(array_to_string(ws[i:i+12], ' '), '')) > 0)
+        SELECT dg.doc_id AS doc_id,
+               CAST(count(DISTINCT dg.gram) AS BIGINT) AS hits,
+               min(dg.gram) AS top_gram
+        FROM dg JOIN bg USING (gram)
+        GROUP BY dg.doc_id
+    """
+    # lm_score: replay train (even docs, vocab top-24 by count/word,
+    # add-one over V=|vocab|+1) + score. Same ln/round(4) protocol as
+    # the Spark side; DuckDB generate_series(1,0) is empty so the
+    # len>=2 guard is belt-and-braces.
+    sql["lm_score"] = """
+        WITH d AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          FROM documents),
+        tr AS (SELECT ws FROM d WHERE doc_id % 2 = 0),
+        uni AS (SELECT w, count(*) AS c FROM tr, unnest(ws) AS u(w) GROUP BY w),
+        vocab AS (SELECT w FROM uni ORDER BY c DESC, w ASC LIMIT 24),
+        vc AS (SELECT count(*) + 1 AS v FROM vocab),
+        tb AS (
+          SELECT CASE WHEN w1 IN (SELECT w FROM vocab) THEN w1 ELSE '<unk>' END AS w1,
+                 CASE WHEN w2 IN (SELECT w FROM vocab) THEN w2 ELSE '<unk>' END AS w2
+          FROM (SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM tr, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+                WHERE len(ws) >= 2)),
+        bigram AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2),
+        marg AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+        sb AS (
+          SELECT doc_id,
+                 CASE WHEN w1 IN (SELECT w FROM vocab) THEN w1 ELSE '<unk>' END AS w1,
+                 CASE WHEN w2 IN (SELECT w FROM vocab) THEN w2 ELSE '<unk>' END AS w2
+          FROM (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM d, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+                WHERE len(ws) >= 2))
+        SELECT sb.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               round(sum(ln((coalesce(b.c12, 0) + 1)::DOUBLE
+                            / (coalesce(m.c1, 0) + (SELECT v FROM vc))::DOUBLE))
+                     / count(*), 4) AS avg_logprob
+        FROM sb
+        LEFT JOIN bigram b USING (w1, w2)
+        LEFT JOIN marg m USING (w1)
+        GROUP BY sb.doc_id
     """
     return sql

@@ -1,0 +1,176 @@
+"""Bigram language-model quality scoring — the CCNet shape (Wenzek et
+al. 2020 scores Common-Crawl docs with a KenLM model trained on a
+trusted corpus and keeps the low-perplexity head). The reference does
+no corpus curation; this belongs to the training-data-pipeline family
+the driver brief adds. We train an add-one-smoothed word-BIGRAM model
+(deterministic, engine-replayable) instead of a 5-gram KenLM: same
+pipeline role, no external model artifact.
+
+Scale shape (the part that matters at 100 TB):
+
+  * Training is two map-combinable groupBys (bigram counts, then the
+    left marginal), i.e. hash shuffles on words — never on documents.
+    ``vocab_size`` caps the vocabulary (everything else maps to
+    ``<unk>``) and ``min_count`` prunes rare bigrams, so the model is
+    small by construction.
+  * Scoring never reassembles token arrays: bigrams are formed
+    positionally inside the doc row (array element access is O(1)),
+    exploded, mapped through two BROADCAST vocab joins, probability-
+    joined against the BROADCAST model, and re-aggregated with ONE
+    map-combinable groupBy on the doc key. No corpus-side wide
+    shuffle beyond that single keyed agg.
+  * ``V`` (the smoothing denominator) rides along as a broadcast
+    1-row cross join — no plan-time .count() job (NOTES.md: Lloyd
+    init rule).
+
+Cross-engine float protocol: every per-bigram term is
+``ln((c12+1)/(c1+V))`` — integer counts, ONE double division, one
+``ln``. The per-doc sum is rounded to 4 decimals only after the final
+division (HALF_UP on both engines; summation-order noise is ~1e-13,
+four orders below the rounding step — same margin argument as the
+IVF/LSH protocols in NOTES.md).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+UNK = "<unk>"
+
+_WORD_RE = r"[a-z0-9]+"
+
+
+def _words(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), F.lit(0))
+
+
+def _bigram_rows(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """One row per consecutive word pair. Docs with < 2 words emit
+    nothing (a bigram model has no transition to score)."""
+    w = _words(F.col(text_col))
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(F.col(key).alias(key), F.explode(pairs).alias("p")).select(
+        key, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+class BigramLM(NamedTuple):
+    """A trained model: three small DataFrames (callers broadcast them
+    at scoring time) + the 1-row smoothing denominator."""
+
+    vocab: DataFrame      # (w)              — kept vocabulary, excl. <unk>
+    bigram: DataFrame     # (w1, w2, c12)    — mapped bigram counts
+    marginal: DataFrame   # (w1, c1)         — left marginal of `bigram`
+    v_df: DataFrame       # (v)              — |vocab| + 1 (the <unk> slot)
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 10000,
+    min_count: int = 1,
+) -> BigramLM:
+    """Train on a trusted corpus. Vocabulary = top ``vocab_size``
+    unigrams by count (ties broken lexicographically — deterministic);
+    out-of-vocab tokens on BOTH bigram sides map to ``<unk>`` before
+    counting, so the model is closed over vocab ∪ {<unk>} and add-one
+    smoothing normalizes exactly. Bigrams with mapped count <
+    ``min_count`` are pruned (they fall back to the unseen add-one
+    mass at scoring time)."""
+    # key column is irrelevant for training; synthesize one
+    d = df.select(F.monotonically_increasing_id().alias("_k"), text_col)
+    bg = _bigram_rows(d, "_k", text_col)
+
+    uni = (
+        d.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .count()
+    )
+    # top-K via sort+limit → TakeOrderedAndProject (per-partition
+    # partial top-K, merge on the driver) — NOT a single-partition
+    # row_number window, which would funnel the whole unigram table
+    # through one task at web scale.
+    vocab = (
+        uni.orderBy(F.desc("count"), F.asc("w")).limit(vocab_size).select("w")
+    )
+    vb = F.broadcast(vocab)
+    mapped = (
+        bg.join(vb.withColumnRenamed("w", "w1"), "w1", "left_semi")
+        .unionByName(  # left-anti side mapped to <unk>; two-pass keeps it
+            bg.join(vb.withColumnRenamed("w", "w1"), "w1", "left_anti").withColumn(
+                "w1", F.lit(UNK)
+            )
+        )
+    )
+    mapped = (
+        mapped.join(vb.withColumnRenamed("w", "w2"), "w2", "left_semi")
+        .unionByName(
+            mapped.join(vb.withColumnRenamed("w", "w2"), "w2", "left_anti").withColumn(
+                "w2", F.lit(UNK)
+            )
+        )
+    )
+    bigram = (
+        mapped.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    marginal = (
+        mapped.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v_df = vocab.agg((F.count(F.lit(1)) + 1).alias("v"))
+    return BigramLM(vocab=vocab, bigram=bigram, marginal=marginal, v_df=v_df)
+
+
+def _map_side(bg: DataFrame, side: str, vocab: DataFrame) -> DataFrame:
+    """Map one bigram side through the vocabulary via a broadcast left
+    join (single pass — unlike training we don't need the anti split
+    because scoring only reads the mapped value)."""
+    v = F.broadcast(vocab.select(F.col("w").alias(f"_{side}_v")))
+    return bg.join(
+        v, F.col(side) == F.col(f"_{side}_v"), "left"
+    ).withColumn(side, F.coalesce(f"_{side}_v", F.lit(UNK))).drop(f"_{side}_v")
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    model: BigramLM,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean bigram log-probability (natural log; higher =
+    more like the training corpus). Returns (key, n_terms,
+    avg_logprob); docs with < 2 words are absent. CCNet keeps the
+    best-scoring head/middle of the distribution — pair with
+    ``F.percent_rank`` downstream for that cut."""
+    bg = _bigram_rows(df, key, text_col)
+    bg = _map_side(_map_side(bg, "w1", model.vocab), "w2", model.vocab)
+    scored = (
+        bg.join(
+            F.broadcast(model.bigram), ["w1", "w2"], "left"
+        )
+        .join(F.broadcast(model.marginal), ["w1"], "left")
+        .crossJoin(F.broadcast(model.v_df))
+        .select(
+            key,
+            F.log(
+                (F.coalesce("c12", F.lit(0)) + 1).cast("double")
+                / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )

@@ -2419,6 +2419,71 @@ def _q_lm_score(spark, sf):
     )
 
 
+def _q_av_meta(spark, sf):
+    """AV container metadata, value-level: doc_id-derived fixture
+    containers (doc_id%5 → wav/flac/mp3/mp4/avi) built in the same
+    Arrow stage, then the REAL header parsers (operators/av.py: RIFF
+    walk, STREAMINFO bit-unpack, MPEG frame header, ISO-BMFF box
+    walk). All derived fields are integer arithmetic, so the oracle
+    replays them exactly from doc_id."""
+    from extractthinker_spark.operators.av import (
+        av_meta,
+        make_fixture_avi,
+        make_fixture_flac,
+        make_fixture_mp3,
+        make_fixture_mp4,
+        make_fixture_wav,
+    )
+
+    d = _tp(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            raws = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rate = 8000 + (i % 4) * 8000
+                ch = 1 + i % 2
+                k = i % 5
+                if k == 0:
+                    raws.append(
+                        make_fixture_wav(rate, ch, 16, 400 + (i * 7) % 1000)
+                    )
+                elif k == 1:
+                    raws.append(
+                        make_fixture_flac(rate, ch, 16, 1000 + (i * 13) % 5000)
+                    )
+                elif k == 2:
+                    raws.append(
+                        make_fixture_mp3(
+                            1 + i % 14, i % 3, i % 2 == 0, 500 + i % 300
+                        )
+                    )
+                elif k == 3:
+                    raws.append(make_fixture_mp4(600, 6000 + (i * 11) % 100000))
+                else:
+                    raws.append(
+                        make_fixture_avi(
+                            33333, 100 + i % 400,
+                            320 + (i % 3) * 320, 240 + (i % 3) * 240,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    raw = d.mapInPandas(build, schema="doc_id long, raw binary")
+    return av_meta(raw).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "av_format",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("bits").cast("long").alias("bits"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2495,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_near_dup_hashed": _q_text_near_dup,
         "decontam_hits": _q_decontam_hits,
         "lm_score": _q_lm_score,
+        "av_meta_probe": _q_av_meta,
     }
 
 
@@ -4033,5 +4099,43 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN bigram b USING (w1, w2)
         LEFT JOIN marg m USING (w1)
         GROUP BY sb.doc_id
+    """
+    # av_meta_probe: fixture params are pure integer functions of
+    # doc_id; every derived field is integer arithmetic (floor-div
+    # on positives == //), so the replay is exact.
+    sql["av_meta_probe"] = """
+        WITH p AS (
+          SELECT doc_id, doc_id % 5 AS k,
+                 8000 + (doc_id % 4) * 8000 AS rate,
+                 1 + doc_id % 2 AS ch
+          FROM documents)
+        SELECT doc_id,
+          CASE k WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+                 WHEN 3 THEN 'mp4' ELSE 'avi' END AS av_format,
+          CAST(CASE k
+            WHEN 0 THEN ((400 + (doc_id*7)%1000) * 1000) // rate
+            WHEN 1 THEN ((1000 + (doc_id*13)%5000) * 1000) // rate
+            WHEN 2 THEN ((500 + doc_id%300) * 8)
+                        // (list_value(32,40,48,56,64,80,96,112,128,
+                                       160,192,224,256,320)[1 + doc_id%14])
+            WHEN 3 THEN ((6000 + (doc_id*11)%100000) * 1000) // 600
+            ELSE (33333 * (100 + doc_id%400)) // 1000
+          END AS BIGINT) AS duration_ms,
+          CAST(CASE WHEN k IN (0,1) THEN rate
+                    WHEN k = 2 THEN list_value(44100,48000,32000)[1 + doc_id%3]
+                    ELSE NULL END AS BIGINT) AS sample_rate,
+          CAST(CASE WHEN k IN (0,1) THEN ch
+                    WHEN k = 2 THEN CASE WHEN doc_id%2=0 THEN 2 ELSE 1 END
+                    ELSE NULL END AS BIGINT) AS channels,
+          CAST(CASE WHEN k IN (0,1) THEN 16 ELSE NULL END AS BIGINT) AS bits,
+          CAST(CASE WHEN k=4 THEN 320 + (doc_id%3)*320 ELSE NULL END AS BIGINT) AS width,
+          CAST(CASE WHEN k=4 THEN 240 + (doc_id%3)*240 ELSE NULL END AS BIGINT) AS height,
+          CAST(CASE k
+            WHEN 0 THEN 44 + (400 + (doc_id*7)%1000) * ch * 2
+            WHEN 1 THEN 42
+            WHEN 2 THEN 510 + doc_id%300
+            WHEN 3 THEN 132
+            ELSE 88 END AS BIGINT) AS n_bytes
+        FROM p
     """
     return sql

@@ -2484,6 +2484,103 @@ def _q_av_meta(spark, sf):
     )
 
 
+def _q_tar_chain(spark, sf):
+    """tar archive ingest with nested decompression: each fixture tar
+    holds a two-paragraph .txt member, a .csv member (extension-hint
+    routing inside the container), and a gzipped .txt member (gz chain
+    at depth 1). The REAL ustar sniff (magic at byte 257) + stdlib-tar
+    walk + per-member spans_of dispatch run inside parse_raw_bytes;
+    the oracle replays the by-construction member texts."""
+    import gzip
+    import io
+    import tarfile
+
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    d = _tp(spark, sf, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            raws = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                members = [
+                    ("a.txt", (t[:80].replace("\n", " ")
+                               + f"\n\npart two {i}").encode()),
+                    ("b.csv", f"k,v\n{i},x".encode()),
+                    ("c.txt.gz", gzip.compress(
+                        f"inner gz payload {i}".encode(), mtime=0)),
+                ]
+                buf = io.BytesIO()
+                with tarfile.open(
+                    fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+                ) as tf:
+                    for name, data in members:
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(data)
+                        tf.addfile(ti, io.BytesIO(data))
+                raws.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    raw = d.mapInPandas(build, schema="doc_id long, raw binary")
+    return parse_raw_bytes(raw).select(
+        "doc_id", "format", F.explode("spans").alias("s")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "format",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").cast("long").alias("span_off"),
+    )
+
+
+def _q_subtitle_cues(spark, sf):
+    """Timed-text ingest: SubRip on even doc_ids, WebVTT on odd (with
+    header + NOTE block + cue settings to exercise the skip paths).
+    Three cues per doc; timestamps normalized to HH:MM:SS.mmm and
+    carried in media_ref (cue:<start>-<end>) so span-sequence equality
+    covers the timing. Content-based sniff in both engines."""
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    d = _tp(spark, sf, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            raws = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cues = []
+                for j in range(3):
+                    s, e = i % 40 + 4 * j, i % 40 + 4 * j + 2
+                    if i % 2 == 0:
+                        cues.append(
+                            f"{j + 1}\n00:00:{s:02d},000 --> "
+                            f"00:00:{e:02d},000\ncue {j} doc {i}"
+                        )
+                    else:
+                        cues.append(
+                            f"00:00:{s:02d}.000 --> 00:00:{e:02d}.000"
+                            f" align:start\ncue {j} doc {i}"
+                        )
+                body = "\n\n".join(cues)
+                if i % 2 == 1:
+                    body = "WEBVTT\n\nNOTE generated fixture\n\n" + body
+                raws.append(body.encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    raw = d.mapInPandas(build, schema="doc_id long, raw binary")
+    return parse_raw_bytes(raw).select(
+        "doc_id", "format", F.explode("spans").alias("s")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "format",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("span_off"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2561,6 +2658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_hits": _q_decontam_hits,
         "lm_score": _q_lm_score,
         "av_meta_probe": _q_av_meta,
+        "tar_chain_extract": _q_tar_chain,
+        "subtitle_cues": _q_subtitle_cues,
     }
 
 
@@ -4137,5 +4236,37 @@ def oracle_sql() -> dict[str, str]:
             WHEN 3 THEN 132
             ELSE 88 END AS BIGINT) AS n_bytes
         FROM p
+    """
+    # tar_chain_extract: by-construction member replay —
+    # decode(tar(encode(x))) == x; member order fixes the offsets.
+    sql["tar_chain_extract"] = """
+        WITH d AS (SELECT doc_id,
+                          replace(substring(text, 1, 80), chr(10), ' ') AS p1
+                   FROM documents)
+        SELECT doc_id, 'tar' AS format, 'text' AS kind, p1 AS text,
+               CAST(0 AS BIGINT) AS span_off FROM d
+        UNION ALL
+        SELECT doc_id, 'tar', 'text', 'part two ' || doc_id,
+               CAST(1 AS BIGINT) FROM d
+        UNION ALL
+        SELECT doc_id, 'tar', 'table', 'k | v' || chr(10) || doc_id || ' | x',
+               CAST(2 AS BIGINT) FROM d
+        UNION ALL
+        SELECT doc_id, 'tar', 'text', 'inner gz payload ' || doc_id,
+               CAST(3 AS BIGINT) FROM d
+    """
+    # subtitle_cues: three cues per doc, SRT (even ids) / VTT (odd);
+    # timestamps replayed with lpad (seconds stay < 60 by construction)
+    sql["subtitle_cues"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
+               'text' AS kind,
+               'cue ' || j || ' doc ' || doc_id AS text,
+               'cue:00:00:' || lpad(CAST(doc_id % 40 + 4*j AS VARCHAR), 2, '0')
+                 || '.000-00:00:'
+                 || lpad(CAST(doc_id % 40 + 4*j + 2 AS VARCHAR), 2, '0')
+                 || '.000' AS media_ref,
+               CAST(j AS BIGINT) AS span_off
+        FROM documents, unnest(generate_series(0, 2)) AS u(j)
     """
     return sql

@@ -29,7 +29,10 @@ Arrow-batched ``mapInPandas``; blobs never transit the driver.
 
 from __future__ import annotations
 
+import bz2
+import lzma
 import re
+import tarfile
 import zipfile
 import zlib
 from collections.abc import Iterator
@@ -87,6 +90,11 @@ MIME_TYPE_MAPPING: dict[str, list[str]] = {
     "rar": ["application/x-rar-compressed"],
     "7z": ["application/x-7z-compressed"],
     "gz": ["application/gzip"],
+    "xz": ["application/x-xz"],
+    "bz2": ["application/x-bzip2"],
+    "tar": ["application/x-tar"],
+    "srt": ["application/x-subrip"],
+    "vtt": ["text/vtt"],
     "epub": ["application/epub+zip"],
     # audio
     "mp3": ["audio/mpeg"],
@@ -164,7 +172,14 @@ _MAGIC_PREFIXES: list[tuple[str, str]] = [
     ("sqlite", "53514C69746520666F726D6174203300"),
     ("ps", "25215053"),                    # %!PS
     ("rtf", "7B5C727466"),                 # {\rtf
+    ("xz", "FD377A585A00"),
+    ("bz2", "425A68"),
 ]
+
+# first-cue probe for SubRip: index line then a comma-millis timestamp
+# arrow ([0-9] on purpose — Java \d is ASCII but Python's is not, and
+# the Python twin must match byte-for-byte)
+_SRT_SNIFF_RE = r"^[0-9]+\r?\n[0-9]{2}:[0-9]{2}:[0-9]{2},[0-9]{3} --> "
 
 _ZIP_MAGIC = "504B0304"
 _RIFF_MAGIC = "52494646"
@@ -277,6 +292,13 @@ def detect_format_bytes(raw: Column) -> Column:
         )
         for fmt, magic in _MAGIC_PREFIXES:
             expr = expr.when(head_hex.startswith(magic), fmt)
+        # POSIX ustar tar: magic lives at byte offset 257, past the
+        # 16-byte head — probe the raw column directly (v7 tars
+        # without the magic stay undetected, by design)
+        expr = expr.when(
+            F.upper(F.hex(F.substring(c["r"], 258, 5))) == _ascii_hex("ustar"),
+            "tar",
+        )
         # UTF-8 text sniff (reference: extension/MIME; here content):
         # txt is NULL when the head is not valid UTF-8
         from extractthinker_spark.operators.email_mime import EML_HEADERS
@@ -295,6 +317,8 @@ def detect_format_bytes(raw: Column) -> Column:
             .when(txt.startswith("<?xml"), "xml")
             .when(txt.startswith("<svg"), "svg")
             .when(txt.startswith("{") | txt.startswith("["), "json")
+            .when(txt.startswith("webvtt"), "vtt")
+            .when(txt.rlike(_SRT_SNIFF_RE), "srt")
             .when(txt.startswith("from ") & mbox_hdrs, "mbox")
             .when(eml_first, "eml")
             .otherwise(F.lit("txt"))
@@ -369,6 +393,8 @@ def sniff_bytes(b: bytes | None) -> str:
         m = bytes.fromhex(magic)
         if b[: len(m)] == m:
             return fmt
+    if b[257:262] == b"ustar":
+        return "tar"
     head = b[:_TEXT_HEAD]
     body = head[3:] if head[:3] == b"\xef\xbb\xbf" else head
     t = None
@@ -390,6 +416,10 @@ def sniff_bytes(b: bytes | None) -> str:
     ):
         if t.startswith(prefix):
             return fmt
+    if t.startswith("webvtt"):
+        return "vtt"
+    if re.match(_SRT_SNIFF_RE, t):
+        return "srt"
     from extractthinker_spark.operators.email_mime import EML_HEADERS
 
     if t.startswith("from ") and any(("\n" + h) in t for h in EML_HEADERS):
@@ -1994,6 +2024,62 @@ def decode_rtf_pages(b: bytes) -> list[str]:
     return [p.strip("\n") for p in text.split("\f") if p.strip()]
 
 
+# cue timestamp: SRT uses comma millis, WebVTT uses period (and allows
+# a missing hour field, normalized to 00 here)
+_CUE_TS_RE = re.compile(
+    r"(?:(\d{2}):)?(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*"
+    r"(?:(\d{2}):)?(\d{2}):(\d{2})[,.](\d{3})"
+)
+
+
+def decode_subtitle_cues(b: bytes) -> list[tuple[str, str, str]]:
+    """(start, end, text) per cue, in file order, from SubRip or WebVTT
+    bytes. Timestamps are normalized to ``HH:MM:SS.mmm``; WEBVTT
+    header / NOTE / STYLE / REGION blocks and SRT index lines are
+    dropped; cue settings after the arrow line are ignored."""
+    text = decode_text_bytes(b)
+    cues = []
+    for block in re.split(r"\r?\n\r?\n", text):
+        block = block.strip("\r\n﻿")
+        if not block:
+            continue
+        first = block.split("\n", 1)[0].strip()
+        if first.upper().startswith(("WEBVTT", "NOTE", "STYLE", "REGION")):
+            continue
+        m = _CUE_TS_RE.search(block)
+        if not m:
+            continue
+        h1, m1, s1, ms1, h2, m2, s2, ms2 = m.groups()
+        start = f"{h1 or '00'}:{m1}:{s1}.{ms1}"
+        end = f"{h2 or '00'}:{m2}:{s2}.{ms2}"
+        # the remainder of the arrow line is either empty or VTT cue
+        # settings — discard it; the cue text is the following lines
+        tail = block[m.end():]
+        nl = tail.find("\n")
+        body = "" if nl < 0 else tail[nl + 1:]
+        cues.append((start, end, body.strip()))
+    return cues
+
+
+def tar_members(b: bytes) -> list[tuple[str, bytes]]:
+    """(name, bytes) for each REGULAR file member, archive order —
+    stdlib tarfile over a memory buffer (the canonical implementation,
+    same stance as stdlib-email for .eml). Corrupt archives yield the
+    members readable before the corruption."""
+    out = []
+    try:
+        with tarfile.open(fileobj=BytesIO(b), mode="r:") as tf:
+            for mem in tf:
+                if not mem.isfile():
+                    continue
+                f = tf.extractfile(mem)
+                if f is not None:
+                    out.append((mem.name, f.read()))
+    except (tarfile.TarError, EOFError, OSError):
+        pass
+    return out
+
+
 _OPF_PATH_RE = re.compile(r'full-path="([^"]+)"')
 _OPF_ITEM_RE = re.compile(r'<item\s[^>]*/?>', re.DOTALL)
 _OPF_ATTR_RE = re.compile(r'\b(id|href)="([^"]*)"')
@@ -2565,15 +2651,28 @@ def parse_raw_bytes(
             fmt = _refine_zip(b)
         last = ext.rsplit(".", 1)[-1] if ext else None
         out = []
-        if fmt == "gz" and depth < 2:
+        if fmt in ("gz", "xz", "bz2") and depth < 2:
             try:
-                inner = zlib.decompress(b, 15 + 32)  # gzip or zlib wrapper
-            except zlib.error:
-                return "gz", []
+                if fmt == "gz":
+                    inner = zlib.decompress(b, 15 + 32)  # gzip or zlib
+                elif fmt == "xz":
+                    inner = lzma.decompress(b)
+                else:
+                    inner = bz2.decompress(b)
+            except (zlib.error, lzma.LZMAError, OSError, ValueError):
+                return fmt, []
             # data.csv.gz → inner chain data.csv
             iext = ext.rsplit(".", 1)[0] if ext and "." in ext else None
             ifmt, out = spans_of(inner, iext, depth + 1)
-            return f"gz+{ifmt}", out
+            return f"{fmt}+{ifmt}", out
+        if fmt == "tar" and depth < 2:
+            k = 0
+            for name, data in tar_members(b):
+                _ifmt, inner = spans_of(data, name, depth + 1)
+                for s in inner:
+                    out.append(span(s["kind"], s["text"], s["media_ref"], k))
+                    k += 1
+            return "tar", out
         if fmt == "pdf":
             for i, page in enumerate(decode_pdf_pages(b)):
                 out.append(span("pdf_text", f"\fPAGE {i + 1}\n{page}", None, i))
@@ -2630,6 +2729,9 @@ def parse_raw_bytes(
             # marker span so the row is countable downstream instead of
             # silently empty (r3 judge finding #3)
             out.append(span("media", None, f"bytes:{fmt}", 0))
+        elif fmt in ("srt", "vtt"):
+            for i, (t0, t1, cue) in enumerate(decode_subtitle_cues(b)):
+                out.append(span("text", cue, f"cue:{t0}-{t1}", i))
         elif fmt == "html":
             out.append(span("html", decode_text_bytes(b), None, 0))
         elif fmt == "txt" and last in ("csv", "tsv"):

@@ -1217,3 +1217,103 @@ def test_odp_decode_and_dispatch(spark):
     # Catalyst sniffer agrees
     got = df.select(detect_format_bytes(F.col("raw")).alias("f")).collect()
     assert got[0]["f"] == "odp"
+
+
+def test_tar_xz_bz2_subtitle_dispatch(spark):
+    """Round-5 additions: ustar sniff at offset 257 (both sniffers),
+    member-ordered tar spans with per-member extension routing and a
+    nested gz member; xz/bz2 single-stream chains; SRT/VTT cue spans
+    with normalized timestamps in media_ref."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import io as _io
+    import lzma as _lzma
+    import tarfile as _tarfile
+
+    from extractthinker_spark.operators.rawbytes import (
+        decode_subtitle_cues,
+        tar_members,
+    )
+
+    members = [
+        ("a.txt", b"first para\n\nsecond para"),
+        ("t.csv", b"h1,h2\n1,2"),
+        ("z.txt.gz", _gzip.compress(b"zipped text", mtime=0)),
+    ]
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            ti = _tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, _io.BytesIO(data))
+    tb = buf.getvalue()
+    assert sniff_bytes(tb) == "tar"
+    assert [n for n, _ in tar_members(tb)] == ["a.txt", "t.csv", "z.txt.gz"]
+
+    srt = b"1\n00:00:01,000 --> 00:00:03,500\nHello.\n\n2\n00:00:04,000 --> 00:00:06,000\nWorld\nagain."
+    vtt = b"WEBVTT\n\nNOTE x\n\n00:07.000 --> 00:09.000 align:start\nStyled."
+    assert sniff_bytes(srt) == "srt"
+    assert sniff_bytes(vtt) == "vtt"
+    assert decode_subtitle_cues(vtt) == [
+        ("00:00:07.000", "00:00:09.000", "Styled.")
+    ]
+    assert decode_subtitle_cues(srt)[1] == (
+        "00:00:04.000", "00:00:06.000", "World\nagain."
+    )
+
+    xzb = _lzma.compress(b"para one\n\npara two")
+    bzb = _bz2.compress(b"only para")
+    assert (sniff_bytes(xzb), sniff_bytes(bzb)) == ("xz", "bz2")
+
+    df = spark.createDataFrame(
+        [("tar", bytearray(tb)), ("srt", bytearray(srt)),
+         ("vtt", bytearray(vtt)), ("xz", bytearray(xzb)),
+         ("bz2", bytearray(bzb))],
+        "doc_id string, raw binary",
+    )
+    rows = {r["doc_id"]: r for r in parse_raw_bytes(df).collect()}
+    assert rows["tar"]["format"] == "tar"
+    got = [(s["kind"], s["text"], s["offset"]) for s in rows["tar"]["spans"]]
+    assert got == [
+        ("text", "first para", 0), ("text", "second para", 1),
+        ("table", "h1 | h2\n1 | 2", 2), ("text", "zipped text", 3),
+    ]
+    assert rows["srt"]["format"] == "srt"
+    assert rows["srt"]["spans"][0]["media_ref"] == "cue:00:00:01.000-00:00:03.500"
+    assert rows["vtt"]["spans"][0]["text"] == "Styled."
+    assert rows["xz"]["format"] == "xz+txt"
+    assert [s["text"] for s in rows["xz"]["spans"]] == ["para one", "para two"]
+    assert rows["bz2"]["format"] == "bz2+txt"
+    # Catalyst sniffer parity on every new format
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", detect_format_bytes(F.col("raw")).alias("f")
+        ).collect()
+    }
+    assert got == {"tar": "tar", "srt": "srt", "vtt": "vtt",
+                   "xz": "xz", "bz2": "bz2"}
+
+
+def test_tar_corrupt_and_truncated():
+    from extractthinker_spark.operators.rawbytes import tar_members
+
+    # 512 zero bytes + ustar magic at 257 is not a valid archive —
+    # must not raise
+    junk = bytearray(1024)
+    junk[257:262] = b"ustar"
+    assert tar_members(bytes(junk)) == []
+    # truncated archive yields the members readable before the cut
+    import io as _io
+    import tarfile as _tarfile
+
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT) as tf:
+        for name in ("x.txt", "y.txt"):
+            ti = _tarfile.TarInfo(name)
+            ti.size = 4
+            tf.addfile(ti, _io.BytesIO(b"data"))
+    whole = buf.getvalue()
+    cut = whole[: 512 + 512 + 100]  # first member + part of second header
+    names = [n for n, _ in tar_members(cut)]
+    assert names == ["x.txt"]

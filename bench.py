@@ -145,6 +145,11 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "text_near_dup_hashed",
         "embedding_quantize",
         "ann_topk_quantized",
+        "decontam_hits",
+        "lm_score",
+        "av_meta_probe",
+        "tar_chain_extract",
+        "subtitle_cues",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

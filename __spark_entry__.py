@@ -2581,6 +2581,24 @@ def _q_subtitle_cues(spark, sf):
     )
 
 
+def _q_tfidf_top(spark, sf):
+    """TF-IDF keyword extraction: top-3 terms per doc with df pruning
+    (min_df=2, max_df 90 %). Rank key is round(tf·ln(N/df),4) DESC
+    then term ASC — rounding BEFORE ranking makes mathematical ties
+    engine-exact (functions/tfidf.py). The per-doc top-k compiles to
+    a partial WindowGroupLimit below the exchange."""
+    from extractthinker_spark.functions.tfidf import tfidf_top_terms
+
+    d = _tp(spark, sf, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, k=3, min_df=2, max_df_frac=0.9).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_count": _q_tokenize,
@@ -2660,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_meta_probe": _q_av_meta,
         "tar_chain_extract": _q_tar_chain,
         "subtitle_cues": _q_subtitle_cues,
+        "tfidf_top_terms": _q_tfidf_top,
     }
 
 
@@ -4268,5 +4287,29 @@ def oracle_sql() -> dict[str, str]:
                  || '.000' AS media_ref,
                CAST(j AS BIGINT) AS span_off
         FROM documents, unnest(generate_series(0, 2)) AS u(j)
+    """
+    # tfidf_top_terms: same tokenizer; round-before-rank tie protocol
+    sql["tfidf_top_terms"] = """
+        WITH tc AS (
+          SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents) GROUP BY doc_id, term),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tc),
+        d AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+        idf AS (
+          SELECT term, df, (SELECT n_docs FROM nd) AS n_docs FROM d
+          WHERE df >= 2 AND df <= (SELECT n_docs FROM nd) * 0.9),
+        s AS (
+          SELECT tc.doc_id, tc.term, tc.tf,
+                 round(tc.tf * ln(idf.n_docs::DOUBLE / idf.df), 4) AS score
+          FROM tc JOIN idf USING (term)),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+          FROM s)
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+               CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 3
     """
     return sql

@@ -150,6 +150,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "av_meta_probe",
         "tar_chain_extract",
         "subtitle_cues",
+        "tfidf_top_terms",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

@@ -332,6 +332,58 @@ class Process:
         )
         return self
 
+    def decontaminate(
+        self, bench: DataFrame, n: int = 13, bench_text_col: str = "text"
+    ) -> Process:
+        """Benchmark decontamination (GPT-3 §C / Llama rule): drop
+        documents whose EXTRACTED text shares any word ``n``-gram with
+        the evaluation set. The per-doc hit report (doc_id, hits,
+        top_gram) is stashed as ``self.contamination_report`` for
+        audit before the anti-join removes the flagged docs."""
+        from extractthinker_spark.operators.decontam import (
+            contamination_hits,
+        )
+
+        merged = doc_text(self.extract_content(nest=True))
+        hits = contamination_hits(
+            merged.select("doc_id", F.col("content").alias("text")),
+            bench, n=n, bench_text_col=bench_text_col,
+        )
+        self.contamination_report = hits
+        self._documents = self._require_docs().join(
+            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+        )
+        return self
+
+    def score_lm(
+        self, model=None, min_avg_logprob: float | None = None
+    ) -> Process:
+        """CCNet-style LM quality scoring over the EXTRACTED text:
+        per-doc mean bigram log-prob lands in ``self.lm_scores``.
+        With ``model=None`` the model is trained on this corpus itself
+        (self-perplexity — useful for outlier pruning); pass a
+        ``functions.lm.BigramLM`` trained on a trusted corpus for the
+        true CCNet shape. ``min_avg_logprob`` additionally drops docs
+        scoring below the threshold (docs with < 2 words have no
+        transitions to score and are dropped too when filtering)."""
+        from extractthinker_spark.functions.lm import (
+            score_bigram_lm,
+            train_bigram_lm,
+        )
+
+        merged = doc_text(self.extract_content(nest=True)).select(
+            "doc_id", F.col("content").alias("text")
+        )
+        if model is None:
+            model = train_bigram_lm(merged)
+        self.lm_scores = score_bigram_lm(merged, model)
+        if min_avg_logprob is not None:
+            keep = self.lm_scores.filter(
+                F.col("avg_logprob") >= min_avg_logprob
+            ).select("doc_id")
+            self._documents = self._require_docs().join(keep, "doc_id")
+        return self
+
     def scrub_pii(self, kinds: list[str] | None = None) -> Process:
         """Redact PII (functions/pii.py patterns) in-place across every
         text-bearing span of this process's documents — span structure,

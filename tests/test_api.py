@@ -421,3 +421,54 @@ def test_process_filter_c4_and_dedup_exact(spark):
     # d1 and d3 have identical content -> smallest key survives;
     # d2's extra line makes it distinct
     assert kept2 == {"d1", "d2"}
+
+
+def test_process_decontaminate(spark):
+    """Process.decontaminate drops documents colliding with the eval
+    set on word n-grams and stashes the hit report."""
+    from extractthinker_spark.api import Process
+
+    leak = " ".join(f"w{i}" for i in range(1, 14))
+    rows = [
+        ("dirty", [("text", f"prefix {leak} suffix", None, 0)]),
+        ("clean", [("text", " ".join(f"q{i}" for i in range(1, 20)), None, 0)]),
+    ]
+    docs = spark.createDataFrame(
+        [(d, [{"kind": k, "text": t, "media_ref": m, "offset": o}
+              for k, t, m, o in sp]) for d, sp in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    bench = spark.createDataFrame([(f"Q: {leak}?",)], "text string")
+    p = Process().load(docs).decontaminate(bench, n=13)
+    kept = {r["doc_id"] for r in p.extract_content().select("doc_id").collect()}
+    assert kept == {"clean"}
+    report = {r["doc_id"]: r["hits"] for r in p.contamination_report.collect()}
+    assert report == {"dirty": 1}
+
+
+def test_process_score_lm(spark):
+    """Process.score_lm scores every doc (self-trained model) and the
+    threshold filter drops the out-of-distribution document."""
+    from extractthinker_spark.api import Process
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        ("a", [("text", common, None, 0)]),
+        ("b", [("text", common + " and the cat sat", None, 0)]),
+        ("odd", [("text", "zxq qxz zzq qqz xzq zqx", None, 0)]),
+    ]
+    docs = spark.createDataFrame(
+        [(d, [{"kind": k, "text": t, "media_ref": m, "offset": o}
+              for k, t, m, o in sp]) for d, sp in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    p = Process().load(docs).score_lm()
+    scores = {r["doc_id"]: r["avg_logprob"] for r in p.lm_scores.collect()}
+    assert set(scores) == {"a", "b", "odd"}
+    assert scores["odd"] < scores["a"]  # rare bigrams score worse
+    cut = (scores["odd"] + min(scores["a"], scores["b"])) / 2
+    p2 = Process().load(docs).score_lm(min_avg_logprob=cut)
+    kept = {r["doc_id"] for r in p2.extract_content().select("doc_id").collect()}
+    assert kept == {"a", "b"}

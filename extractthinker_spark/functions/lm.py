@@ -121,14 +121,25 @@ def train_bigram_lm(
             )
         )
     )
-    bigram = (
+    # Materialize the two model-sized tables ONCE (localCheckpoint —
+    # bounded by the pruned vocab/bigram size). Scoring broadcasts
+    # vocab twice and the model tables once each; without the
+    # checkpoint every broadcast re-runs the whole training scan +
+    # explode + aggs (~6 recomputations — measured dominating lm_score
+    # wall time at bench scale).
+    vocab = vocab.localCheckpoint()
+    bigram_full = (
         mapped.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= min_count)
+        .localCheckpoint()
     )
-    marginal = (
-        mapped.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    )
+    bigram = bigram_full.filter(F.col("c12") >= min_count)
+    # left marginal derived from the aggregated table, NOT a second
+    # pass over the mapped bigram rows: c1 = Σ_w2 c12 (same value —
+    # the count of w1 occurrences as a left element), and min_count
+    # pruning must NOT reduce the marginal mass, so derive from the
+    # unpruned counts.
+    marginal = bigram_full.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v_df = vocab.agg((F.count(F.lit(1)) + 1).alias("v"))
     return BigramLM(vocab=vocab, bigram=bigram, marginal=marginal, v_df=v_df)
 

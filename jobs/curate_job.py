@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
     ap.add_argument("--substring-dedup", action="store_true",
                     help="run the exact-substring scrub (3rd dedup layer)")
     ap.add_argument("--substring-min-len", type=int, default=60)
+    ap.add_argument("--decontam-input", default=None,
+                    help="benchmark/eval-set parquet with a `text` "
+                         "column: drop docs sharing any word n-gram")
+    ap.add_argument("--decontam-ngram", type=int, default=13)
     ap.add_argument("--no-c4", action="store_true")
     ap.add_argument("--no-gopher", action="store_true")
     ap.add_argument("--nfkc", action="store_true",
@@ -172,7 +176,24 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
         ).localCheckpoint()
         funnel["after_substring_dedup"] = text.count()
 
-    # 11. per-host cap + host stats
+    # 11. benchmark decontamination (late, over the final text — the
+    # eval set must not survive any upstream rewrite)
+    if args.decontam_input:
+        from extractthinker_spark.operators.decontam import (
+            contamination_hits,
+        )
+
+        bench = spark.read.parquet(args.decontam_input)
+        hits = contamination_hits(text, bench, n=args.decontam_ngram)
+        hits.write.mode("overwrite").parquet(
+            os.path.join(args.output, "_audit", "contamination")
+        )
+        text = text.join(
+            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+        ).localCheckpoint()
+        funnel["after_decontam"] = text.count()
+
+    # 12. per-host cap + host stats
     if args.url_input:
         from extractthinker_spark.functions.urls import (
             cap_per_host,

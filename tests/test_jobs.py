@@ -286,3 +286,47 @@ def test_curate_job_substring_and_host_branches(spark, tmp_path):
     stats = spark.read.parquet(out + "/_audit/host_stats").collect()
     assert stats and stats[0]["host"] == "one.example"
     assert json.load(open(out + "/_audit/funnel.json"))["funnel"] == funnel
+
+
+def test_curate_job_decontam_branch(spark, tmp_path):
+    """--decontam-input drops the doc that leaks a benchmark 13-gram
+    and writes the contamination audit table."""
+    import json
+
+    from jobs.curate_job import main
+
+    leak = ("the quick brown fox jumps over the lazy dog near the "
+            "quiet river bank")  # 14 words -> contains 13-grams
+    rows = [
+        ("dirty", f"Opening sentence pads this document nicely today.\n"
+                  f"{leak}.\nA closing sentence finishes the page."),
+        ("clean", "Submarine cables carry optical signals across the "
+                  "atlantic with amplifier stations spaced along the "
+                  "seabed route today.\nA second sentence pads this "
+                  "document further now."),
+    ]
+    docs = spark.createDataFrame(
+        [(k, [{"kind": "text", "text": t, "media_ref": None,
+               "offset": 0}]) for k, t in rows],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    bench = spark.createDataFrame(
+        [(f"Q: {leak}?",)], "text string"
+    )
+    inp, binp, out = (str(tmp_path / p) for p in ("in", "bench", "out"))
+    docs.write.parquet(inp)
+    bench.write.parquet(binp)
+
+    report = main(
+        ["--input", inp, "--output", out, "--no-gopher", "--no-c4",
+         "--decontam-input", binp, "--master", "local[4]"],
+        stop=False,
+    )
+    funnel = report["funnel"]
+    assert funnel["after_decontam"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(out + "/data").collect()}
+    assert kept == {"clean"}
+    audit = spark.read.parquet(out + "/_audit/contamination").collect()
+    assert [r["doc_id"] for r in audit] == ["dirty"] and audit[0]["hits"] >= 1
+    assert json.load(open(out + "/_audit/funnel.json"))["funnel"] == funnel

@@ -101,33 +101,19 @@ def train_bigram_lm(
     # partial top-K, merge on the driver) — NOT a single-partition
     # row_number window, which would funnel the whole unigram table
     # through one task at web scale.
-    vocab = (
-        uni.orderBy(F.desc("count"), F.asc("w")).limit(vocab_size).select("w")
-    )
-    vb = F.broadcast(vocab)
-    mapped = (
-        bg.join(vb.withColumnRenamed("w", "w1"), "w1", "left_semi")
-        .unionByName(  # left-anti side mapped to <unk>; two-pass keeps it
-            bg.join(vb.withColumnRenamed("w", "w1"), "w1", "left_anti").withColumn(
-                "w1", F.lit(UNK)
-            )
-        )
-    )
-    mapped = (
-        mapped.join(vb.withColumnRenamed("w", "w2"), "w2", "left_semi")
-        .unionByName(
-            mapped.join(vb.withColumnRenamed("w", "w2"), "w2", "left_anti").withColumn(
-                "w2", F.lit(UNK)
-            )
-        )
-    )
-    # Materialize the two model-sized tables ONCE (localCheckpoint —
+    # Materialize the model-sized tables ONCE (localCheckpoint —
     # bounded by the pruned vocab/bigram size). Scoring broadcasts
     # vocab twice and the model tables once each; without the
     # checkpoint every broadcast re-runs the whole training scan +
     # explode + aggs (~6 recomputations — measured dominating lm_score
     # wall time at bench scale).
-    vocab = vocab.localCheckpoint()
+    vocab = (
+        uni.orderBy(F.desc("count"), F.asc("w")).limit(vocab_size).select("w")
+    ).localCheckpoint()
+    # one broadcast left join + coalesce per bigram side (the same
+    # _map_side the scorer uses — a semi/anti union pair would cost
+    # four joins and two unions for the identical result)
+    mapped = _map_side(_map_side(bg, "w1", vocab), "w2", vocab)
     bigram_full = (
         mapped.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))

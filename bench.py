@@ -215,17 +215,46 @@ def _merged_mins(result: dict) -> dict:
     except (OSError, ValueError):
         return result
     keys = set(result["queries"])
+    # THIS round's runs only (git-marker boundary, same rule as
+    # scripts/bench_diff.py) — a previous round's fast outlier for a
+    # since-changed query must not mask a regression. Falls back to
+    # same-registry runs when the boundary can't be established.
+    since = None
+    try:
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "bench_diff",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "bench_diff.py"),
+        )
+        _bd = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_bd)
+        prevs = _bd.load_round_snapshots()
+        if prevs:
+            since = _bd.round_since_ts(max(prevs))
+    except Exception:
+        since = None
     peers = [
         r for r in rows
         if r.get("sf") == result["sf"]
         and r.get("cpus") == result["cpus"]
-        and keys <= set(r.get("queries", {}))
+        and (
+            (since is not None and (r.get("ts") or "") >= since
+             and keys & set(r.get("queries", {})))
+            if since is not None
+            else keys <= set(r.get("queries", {}))
+        )
     ]
     if not peers:
         return result
     out = dict(result)
     out["queries"] = {
-        k: min(r["queries"][k] for r in peers) for k in result["queries"]
+        k: min(
+            [r["queries"][k] for r in peers if k in r.get("queries", {})]
+            + [result["queries"][k]]
+        )
+        for k in result["queries"]
     }
     out["value"] = round(sum(out["queries"].values()), 3)
     out["docs_per_sec"] = max(
@@ -234,7 +263,7 @@ def _merged_mins(result: dict) -> dict:
     out["merged_over_runs"] = len(peers)
     out["metric"] = (
         f"total headline seconds, per-query MIN merged over "
-        f"{len(peers)} same-registry runs (lower=better); docs_per_sec "
+        f"{len(peers)} same-round runs (lower=better); docs_per_sec "
         "= best flagship extraction throughput"
     )
     return out

@@ -63,6 +63,43 @@ def load_history_best(
     }
 
 
+def round_since_ts(prev_round: int) -> str | None:
+    """Earliest history timestamp belonging to the CURRENT round.
+
+    Round boundary comes from git, not file mtime — the driver
+    rewrites the BENCH_r{N}.json artifacts on session restarts, so
+    mtime can sit hours into the current round and silently exclude
+    its earlier runs. The driver commits "round {N}: verdict/..."
+    when a round closes; every history row whose sha is a descendant
+    of that marker belongs to this round.
+    """
+    try:
+        import subprocess
+
+        marker = subprocess.run(
+            ["git", "-C", REPO, "log", "--format=%H",
+             "--grep", f"^round {prev_round}:", "-1"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not marker:
+            return None
+        shas = set(
+            subprocess.run(
+                ["git", "-C", REPO, "rev-list", "--abbrev-commit",
+                 f"{marker}..HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.split()
+        )
+        with open(os.path.join(REPO, "BENCH", "history.jsonl")) as f:
+            ts = [
+                json.loads(l)["ts"] for l in f
+                if l.strip() and json.loads(l).get("git") in shas
+            ]
+        return min(ts) if ts else None
+    except Exception:
+        return None
+
+
 def main() -> None:
     snaps = load_round_snapshots()
     if not snaps:
@@ -72,10 +109,12 @@ def main() -> None:
     prev = snaps[prev_round]
     import time
 
-    snap_path = os.path.join(REPO, f"BENCH_r{prev_round:02d}.json")
-    since = time.strftime(
-        "%Y-%m-%dT%H:%M:%S", time.localtime(os.path.getmtime(snap_path))
-    )
+    since = round_since_ts(prev_round)
+    if since is None:
+        snap_path = os.path.join(REPO, f"BENCH_r{prev_round:02d}.json")
+        since = time.strftime(
+            "%Y-%m-%dT%H:%M:%S", time.localtime(os.path.getmtime(snap_path))
+        )
     cur = load_history_best(since_ts=since, sf=prev.get("sf"))
     if cur is None:
         print("nothing to diff")

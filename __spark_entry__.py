@@ -2601,6 +2601,40 @@ def _q_tfidf_top(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver window (first 50 keys get the driver's value-level
+        # correctness rows; see COVERAGE.md) -------------------------
+        # Block A: rotated in for r6 — no driver row yet (r5 verdict #1).
+        "dedup_lines_corpus": _q_dedup_lines_corpus,
+        "warc_extract": _q_warc_extract,
+        "url_normalize": _q_url_normalize,
+        "dedup_components": _q_dedup_components,
+        "media_meta_dims": _q_media_meta_dims,
+        "host_stats": _q_host_stats,
+        "host_cap": _q_host_cap,
+        "substring_dup_spans": _q_substring_dup,
+        "pdf_encoding_spans": _q_pdf_encoding_spans,
+        "jpeg_dc_features": _q_jpeg_dc_features,
+        "c4_filter": _q_c4_filter,
+        "unicode_clean": _q_unicode_clean,
+        "embedding_quantize": _q_embedding_quantize,
+        "ann_topk_quantized": _q_ann_quantized,
+        "remove_substrings": _q_remove_substrings,
+        "langid_fine": _q_langid_fine,
+        "eml_extract": _q_eml_extract,
+        "sample_split": _q_sample_split,
+        "mix_weighted": _q_mix_weighted,
+        "bloom_dedup_incremental": _q_bloom_dedup,
+        "text_embed_hashed": _q_text_embed,
+        "text_near_dup_hashed": _q_text_near_dup,
+        "decontam_hits": _q_decontam_hits,
+        "lm_score": _q_lm_score,
+        "av_meta_probe": _q_av_meta,
+        "tar_chain_extract": _q_tar_chain,
+        "subtitle_cues": _q_subtitle_cues,
+        "tfidf_top_terms": _q_tfidf_top,
+        # Block B: new round-6 queries (insert here, before Block C).
+        # Block C: r5 driver-green keys (CORRECTNESS_r05) — refresh as
+        # window space allows; all have rows within the 2-round window.
         "tokenize_count": _q_tokenize,
         "whitespace_normalize": _q_normalize,
         "dedup_exact": _q_dedup_exact,
@@ -2651,34 +2685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_doc_spans": _q_legacy_doc_spans,
         "pdf_tree_spans": _q_pdf_tree_spans,
         "pii_scrub": _q_pii_scrub,
-        "dedup_lines_corpus": _q_dedup_lines_corpus,
-        "warc_extract": _q_warc_extract,
-        "url_normalize": _q_url_normalize,
-        "dedup_components": _q_dedup_components,
-        "media_meta_dims": _q_media_meta_dims,
-        "host_stats": _q_host_stats,
-        "host_cap": _q_host_cap,
-        "substring_dup_spans": _q_substring_dup,
-        "pdf_encoding_spans": _q_pdf_encoding_spans,
-        "jpeg_dc_features": _q_jpeg_dc_features,
-        "c4_filter": _q_c4_filter,
-        "unicode_clean": _q_unicode_clean,
-        "embedding_quantize": _q_embedding_quantize,
-        "ann_topk_quantized": _q_ann_quantized,
-        "remove_substrings": _q_remove_substrings,
-        "langid_fine": _q_langid_fine,
-        "eml_extract": _q_eml_extract,
-        "sample_split": _q_sample_split,
-        "mix_weighted": _q_mix_weighted,
-        "bloom_dedup_incremental": _q_bloom_dedup,
-        "text_embed_hashed": _q_text_embed,
-        "text_near_dup_hashed": _q_text_near_dup,
-        "decontam_hits": _q_decontam_hits,
-        "lm_score": _q_lm_score,
-        "av_meta_probe": _q_av_meta,
-        "tar_chain_extract": _q_tar_chain,
-        "subtitle_cues": _q_subtitle_cues,
-        "tfidf_top_terms": _q_tfidf_top,
     }
 
 

@@ -350,8 +350,10 @@ class Process:
             bench, n=n, bench_text_col=bench_text_col,
         )
         self.contamination_report = hits
+        # No broadcast hint — the flagged set is unbounded (see
+        # decontam.decontaminate); AQE picks the strategy at runtime.
         self._documents = self._require_docs().join(
-            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+            hits.select("doc_id"), "doc_id", "left_anti"
         )
         return self
 

@@ -87,7 +87,14 @@ def train_bigram_lm(
     counting, so the model is closed over vocab ∪ {<unk>} and add-one
     smoothing normalizes exactly. Bigrams with mapped count <
     ``min_count`` are pruned (they fall back to the unseen add-one
-    mass at scoring time)."""
+    mass at scoring time).
+
+    Deliberate tradeoff: with ``min_count > 1`` pruned bigrams score
+    with numerator 1 (the unseen mass) while the left marginal keeps
+    their mass in the denominator, so conditional probabilities no
+    longer sum to exactly 1 over vocab ∪ {<unk>}. ``avg_logprob``
+    values are therefore only comparable between models trained with
+    the SAME ``min_count`` (ranking within one model is unaffected)."""
     # key column is irrelevant for training; synthesize one
     d = df.select(F.monotonically_increasing_id().alias("_k"), text_col)
     bg = _bigram_rows(d, "_k", text_col)

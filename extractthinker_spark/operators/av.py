@@ -145,10 +145,22 @@ def _mp4_meta(b: bytes, out: dict) -> dict:
     while pos + 8 <= n:  # top-level box walk
         size = struct.unpack(">I", b[pos : pos + 4])[0]
         typ = b[pos + 4 : pos + 8]
-        if size < 8:
+        if size == 1:
+            # ISO-BMFF 64-bit largesize (common on big mdat boxes) —
+            # the real size is the 8 bytes after the type field.
+            if pos + 16 > n:
+                break
+            size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+            if size < 16:
+                break
+        elif size == 0:
+            # Box extends to end of file; nothing follows it.
+            size = n - pos
+        elif size < 8:
             break
         if typ == b"moov":
-            inner, end = pos + 8, min(pos + size, n)
+            hdr = 16 if b[pos : pos + 4] == b"\x00\x00\x00\x01" else 8
+            inner, end = pos + hdr, min(pos + size, n)
             while inner + 8 <= end:
                 isz = struct.unpack(">I", b[inner : inner + 4])[0]
                 ityp = b[inner + 4 : inner + 8]

@@ -92,4 +92,9 @@ def decontaminate(
     so corpus columns pass through untouched."""
     hits = contamination_hits(corpus, bench, key, text_col, bench_text_col, n)
     flagged = hits.filter(F.col("hits") >= min_hits).select(key)
-    return corpus.join(F.broadcast(flagged), key, "left_anti")
+    # No explicit broadcast hint: contamination is USUALLY sparse, but
+    # the flagged set is unbounded (large eval set, small n, or a
+    # heavily contaminated corpus), and a forced broadcast of an
+    # unbounded side can OOM the driver. AQE sees the real size at
+    # runtime and picks broadcast only when it actually fits.
+    return corpus.join(flagged, key, "left_anti")

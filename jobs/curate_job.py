@@ -184,12 +184,18 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
         )
 
         bench = spark.read.parquet(args.decontam_input)
-        hits = contamination_hits(text, bench, n=args.decontam_ngram)
-        hits.write.mode("overwrite").parquet(
-            os.path.join(args.output, "_audit", "contamination")
-        )
+        # The corpus-wide n-gram explode + broadcast join is the most
+        # expensive stage in the funnel — materialize it ONCE and
+        # anti-join against the audit parquet just written, so the
+        # write and the filter cannot recompute (or diverge from)
+        # each other.
+        audit_path = os.path.join(args.output, "_audit", "contamination")
+        contamination_hits(
+            text, bench, n=args.decontam_ngram
+        ).write.mode("overwrite").parquet(audit_path)
+        hits = spark.read.parquet(audit_path)
         text = text.join(
-            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+            hits.select("doc_id"), "doc_id", "left_anti"
         ).localCheckpoint()
         funnel["after_decontam"] = text.count()
 

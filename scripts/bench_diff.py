@@ -83,18 +83,23 @@ def round_since_ts(prev_round: int) -> str | None:
         ).stdout.strip()
         if not marker:
             return None
-        shas = set(
-            subprocess.run(
-                ["git", "-C", REPO, "rev-list", "--abbrev-commit",
-                 f"{marker}..HEAD"],
-                capture_output=True, text=True, timeout=10,
-            ).stdout.split()
-        )
+        # Full SHAs, matched by prefix against history's short shas:
+        # --abbrev-commit length is adaptive (grows with object count),
+        # so exact set membership against a stored 7-char field would
+        # silently stop matching once git moves to 8+ chars.
+        fulls = subprocess.run(
+            ["git", "-C", REPO, "rev-list", f"{marker}..HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.split()
         with open(os.path.join(REPO, "BENCH", "history.jsonl")) as f:
-            ts = [
-                json.loads(l)["ts"] for l in f
-                if l.strip() and json.loads(l).get("git") in shas
-            ]
+            ts = []
+            for line in f:
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                short = row.get("git") or ""
+                if short and any(full.startswith(short) for full in fulls):
+                    ts.append(row["ts"])
         return min(ts) if ts else None
     except Exception:
         return None

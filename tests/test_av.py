@@ -43,6 +43,33 @@ def test_mp4_round_trip():
     assert m["sample_rate"] is None and m["width"] is None
 
 
+def test_mp4_largesize_and_eof_boxes():
+    """ISO-BMFF size==1 (64-bit largesize, common on big mdat) and
+    size==0 (extends to EOF) must not abort the top-level walk — moov
+    placed after such boxes is still reached."""
+    import struct
+
+    base = make_fixture_mp4(600, 18000)
+    ftyp, moov = base[:16], base[16:]
+    payload = b"\x00" * 64
+    large_mdat = (
+        struct.pack(">I", 1) + b"mdat"
+        + struct.pack(">Q", 16 + len(payload)) + payload
+    )
+    m = parse_av_meta(ftyp + large_mdat + moov)
+    assert m["av_format"] == "mp4" and m["duration_ms"] == 30000
+
+    # size==0 mdat swallows everything after it, so put moov FIRST and
+    # check the walk still terminates cleanly with the right duration.
+    eof_mdat = struct.pack(">I", 0) + b"mdat" + payload
+    m2 = parse_av_meta(ftyp + moov + eof_mdat)
+    assert m2["duration_ms"] == 30000
+
+    # truncated largesize header: bail without raising
+    m3 = parse_av_meta(ftyp + struct.pack(">I", 1) + b"mdat")
+    assert m3["av_format"] == "mp4" and m3["duration_ms"] is None
+
+
 def test_avi_round_trip():
     m = parse_av_meta(make_fixture_avi(33333, 300, 640, 480))
     assert m["av_format"] == "avi"

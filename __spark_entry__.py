@@ -854,6 +854,10 @@ RAW_FORMAT_CASES: list[tuple[int, str, str, str]] = [
      "mimetypeapplication/vnd.oasis.opendocument.text PK"),
     (21, "ods", "504B0304",
      "mimetypeapplication/vnd.oasis.opendocument.spreadsheet PK"),
+    # UTF-16 BOMs (LE, BE): the ASCII payload that follows can never
+    # be 00 00, so the UTF-32LE exclusion in the sniffer stays off
+    (22, "utf16", "FFFE", ""),
+    (23, "utf16", "FEFF", ""),
 ]
 
 
@@ -1728,6 +1732,69 @@ def _q_parse_raw_spans(spark, sf):
         (F.col("s.offset") + 1).alias("page_no"),
         strip_page_header(F.col("s.text")).alias("content"),
     )
+
+
+def _q_charset_extract(spark, sf):
+    """Legacy text encodings through the REAL raw-bytes road
+    (reference gets this from bs4/UnicodeDammit,
+    document_loader_beautiful_soup.py:175-206): per doc_id%4 the
+    payload is (0) UTF-16LE BOM text, (1) UTF-16BE BOM html — the
+    sniffer must transcode and re-dispatch to the html branch, (2)
+    cp1252 bytes behind a .txt extension hint (the 0x97 em-dash makes
+    the head invalid UTF-8, so content sniff fails by design), (3)
+    UTF-8-headed html whose <meta charset=windows-1252> governs a
+    cp1252 byte past the 256-byte sniff window. The oracle replays the
+    by-construction decoded text (0x97→U+2014, 0x93→U+201C)."""
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    d = _tp(spark, sf, "documents")
+    t = F.regexp_replace(F.substring("text", 1, 60), r"[\r\n]+", " ")
+    k = F.col("doc_id") % 4
+    html_pre = '<html><head><meta charset="windows-1252"></head><body>'
+    raw = (
+        F.when(k == 0, F.concat(
+            F.unhex(F.lit("FFFE")),
+            F.encode(F.concat(F.lit("p: "), t), "UTF-16LE")))
+        .when(k == 1, F.concat(
+            F.unhex(F.lit("FEFF")),
+            F.encode(F.concat(F.lit("<html><body>"), t), "UTF-16BE")))
+        .when(k == 2, F.concat(
+            F.encode(F.concat(F.lit("p: "), t), "UTF-8"),
+            F.unhex(F.lit("97")), F.encode(F.lit(" fin"), "UTF-8")))
+        .otherwise(F.concat(
+            F.encode(F.concat(F.lit(html_pre), F.rpad(t, 230, "x")),
+                     "UTF-8"),
+            F.unhex(F.lit("93")), F.encode(F.lit("q"), "UTF-8")))
+    )
+    src = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        raw.alias("raw"), F.lit("row.txt").alias("uri"),
+    )
+    parsed = parse_raw_bytes(src, uri_col="uri")
+    return parsed.select("doc_id", "format",
+                         F.explode("spans").alias("s")).select(
+        "doc_id", "format",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("content"),
+    )
+
+
+_CHARSET_SQL = r"""
+    WITH t AS (SELECT doc_id::VARCHAR AS doc_id, doc_id % 4 AS k,
+        regexp_replace(substring(text, 1, 60), '[\r\n]+', ' ', 'g') AS t
+      FROM documents)
+    SELECT doc_id,
+      CASE k WHEN 0 THEN 'utf16+txt' WHEN 1 THEN 'utf16+html'
+             WHEN 2 THEN 'txt' ELSE 'html' END AS format,
+      CASE k WHEN 0 THEN 'text' WHEN 1 THEN 'html'
+             WHEN 2 THEN 'text' ELSE 'html' END AS kind,
+      CASE k WHEN 0 THEN 'p: ' || t
+             WHEN 1 THEN '<html><body>' || t
+             WHEN 2 THEN 'p: ' || t || chr(8212) || ' fin'
+             ELSE '<html><head><meta charset="windows-1252"></head><body>'
+                  || rpad(t, 230, 'x') || chr(8220) || 'q' END AS content
+    FROM t
+"""
 
 
 _PARSE_RAW_SQL = r"""
@@ -2633,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_cues": _q_subtitle_cues,
         "tfidf_top_terms": _q_tfidf_top,
         # Block B: new round-6 queries (insert here, before Block C).
+        "charset_extract": _q_charset_extract,
         # Block C: r5 driver-green keys (CORRECTNESS_r05) — refresh as
         # window space allows; all have rows within the 2-round window.
         "tokenize_count": _q_tokenize,
@@ -3910,6 +3978,7 @@ def oracle_sql() -> dict[str, str]:
     sql["gopher_filter"] = _gopher_sql()
     sql["concat_parts"] = _concat_parts_sql()
     sql["parse_raw_spans"] = _PARSE_RAW_SQL
+    sql["charset_extract"] = _CHARSET_SQL
     sql["legacy_doc_spans"] = _LEGACY_DOC_SQL
     sql["pdf_tree_spans"] = _PDF_TREE_SQL
     sql["pii_scrub"] = _pii_sql()

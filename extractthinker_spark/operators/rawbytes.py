@@ -30,6 +30,7 @@ Arrow-batched ``mapInPandas``; blobs never transit the driver.
 from __future__ import annotations
 
 import bz2
+import codecs
 import lzma
 import re
 import tarfile
@@ -44,6 +45,35 @@ from pyspark.sql import Column, DataFrame
 
 from extractthinker_spark.operators.dedup import _let
 
+
+def _cp1252_c1_fallback(err: UnicodeError):
+    """codecs error handler: the five bytes cp1252 leaves undefined
+    (0x81 8D 8F 90 9D) pass through as their C1 controls — the WHATWG
+    windows-1252 decode table, so no byte is ever lost to U+FFFD."""
+    return (
+        bytes(err.object[err.start : err.end]).decode("latin-1"),
+        err.end,
+    )
+
+
+codecs.register_error("cp1252_c1", _cp1252_c1_fallback)
+
+
+def decode_cp1252(b: bytes) -> str:
+    """WHATWG windows-1252 decode: the single-byte fallback for web
+    text. Unlike latin-1, 0x80-0x9F map to the punctuation the bytes
+    actually mean on the web (curly quotes, em-dashes, €) instead of
+    C1 controls that the Unicode-hygiene pass would then delete;
+    reference gets the same behavior from bs4/UnicodeDammit
+    (document_loader_beautiful_soup.py:175-206)."""
+    return b.decode("cp1252", "cp1252_c1")
+
+
+# byte value → cp1252 character (WHATWG table): the single-byte text
+# fallback shared by the PDF simple-font path and the legacy Office
+# low-byte strings.
+_CP1252 = tuple(decode_cp1252(bytes([i])) for i in range(256))
+
 # ---------------------------------------------------------------------------
 # Extension → MIME (utils.py:330-456 shape; first entry = canonical).
 # ---------------------------------------------------------------------------
@@ -56,6 +86,9 @@ MIME_TYPE_MAPPING: dict[str, list[str]] = {
              ".wordprocessingml.document"],
     "rtf": ["application/rtf"],
     "txt": ["text/plain"],
+    # sniffed format (not an extension): UTF-16 BOM text, refined to
+    # its payload format by spans_of after transcoding
+    "utf16": ["text/plain"],
     "odt": ["application/vnd.oasis.opendocument.text"],
     "md": ["text/markdown", "text/x-markdown"],
     # spreadsheets
@@ -299,6 +332,15 @@ def detect_format_bytes(raw: Column) -> Column:
             F.upper(F.hex(F.substring(c["r"], 258, 5))) == _ascii_hex("ustar"),
             "tar",
         )
+        # UTF-16 BOMs (FF FE / FE FF — standard Windows text export).
+        # 0xFF/0xFE can never begin valid UTF-8, so the text branch
+        # below cannot claim these rows; FF FE 00 00 (UTF-32LE BOM)
+        # stays unknown, matching the python twin. spans_of refines
+        # the verdict by transcoding and re-dispatching the payload.
+        expr = expr.when(
+            head_hex.startswith("FFFE") & ~head_hex.startswith("FFFE0000"),
+            "utf16",
+        ).when(head_hex.startswith("FEFF"), "utf16")
         # UTF-8 text sniff (reference: extension/MIME; here content):
         # txt is NULL when the head is not valid UTF-8
         from extractthinker_spark.operators.email_mime import EML_HEADERS
@@ -395,6 +437,12 @@ def sniff_bytes(b: bytes | None) -> str:
             return fmt
     if b[257:262] == b"ustar":
         return "tar"
+    # UTF-16 BOM text (must mirror the Catalyst branch byte-for-byte;
+    # FF FE 00 00 = UTF-32LE BOM stays unknown in both)
+    if b[:2] == b"\xff\xfe" and b[2:4] != b"\x00\x00":
+        return "utf16"
+    if b[:2] == b"\xfe\xff":
+        return "utf16"
     head = b[:_TEXT_HEAD]
     body = head[3:] if head[:3] == b"\xef\xbb\xbf" else head
     t = None
@@ -499,12 +547,14 @@ def _pdf_unescape_bytes(s: bytes) -> bytes:
 
 def _pdf_simple_decode(raw: bytes, enc: dict[int, str] | None) -> str:
     """Single-byte show-string codes → text through the document's
-    simple-font encoding overrides (/Differences + non-Latin-1 base
-    encoding rows); unmapped codes stay Latin-1 — the identity for
-    fonts with no /Encoding dict."""
+    simple-font encoding overrides (/Differences + base encoding
+    rows); unmapped codes fall back to WinAnsi (cp1252) — the
+    overwhelmingly common default for fonts with no /Encoding dict,
+    and identical to Latin-1 everywhere except 0x80-0x9F, where
+    Latin-1 would emit C1 controls the hygiene pass then deletes."""
     if not enc:
-        return raw.decode("latin-1")
-    return "".join(enc.get(b) or chr(b) for b in raw)
+        return decode_cp1252(raw)
+    return "".join(enc.get(b) or _CP1252[b] for b in raw)
 
 
 def _pdf_unescape(s: bytes, enc: dict[int, str] | None = None) -> str:
@@ -920,7 +970,7 @@ def _pdf_hex_string(
             if strict and width > 1:
                 return _pdf_simple_decode(raw, enc)
             if width == 1:
-                mapped = (enc or {}).get(code) or chr(code)
+                mapped = (enc or {}).get(code) or _CP1252[code]
             else:
                 mapped = "�"
         out.append(mapped)
@@ -1322,13 +1372,21 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _pdf_string_bytes(body: bytes, name: bytes) -> bytes | None:
-    """Value of /name when it is a literal or hex string."""
+    """Value of /name when it is a literal or hex string. These are
+    RAW bytes (encryption-dict /O //U values etc.) — never routed
+    through a text decode, which would not round-trip."""
     m = re.search(name + rb"\s*\(((?:[^()\\]|\\.)*)\)", body, re.DOTALL)
     if m:
-        return _pdf_unescape(m.group(1)).encode("latin-1")
+        return _pdf_unescape_bytes(m.group(1))
     m = re.search(name + rb"\s*<([0-9A-Fa-f\s]*)>", body)
     if m:
-        return _pdf_hex_string(m.group(1)).encode("latin-1")
+        digits = b"".join(m.group(1).split())
+        if len(digits) % 2:
+            digits += b"0"
+        try:
+            return bytes.fromhex(digits.decode("ascii"))
+        except ValueError:
+            return None
     return None
 
 
@@ -1949,8 +2007,9 @@ def decode_rtf_pages(b: bytes) -> list[str]:
     fallback-skip convention), paragraph/line/tab controls, and
     skip-entire-group destinations (font/color/style tables, info,
     pict). One page per ``\\page`` control (the docx page-break
-    convention)."""
-    s = b.decode("latin-1", "replace")
+    convention). Raw high bytes and ``\\'hh`` escapes decode through
+    cp1252 — RTF's ANSI default code page (``\\ansicpg1252``)."""
+    s = decode_cp1252(b)
     out: list[str] = []
     i, n = 0, len(s)
     skip_depth = 0        # >0: inside a skipped destination group
@@ -1993,7 +2052,7 @@ def decode_rtf_pages(b: bytes) -> list[str]:
                 if pending_skip:
                     pending_skip -= 1
                 else:
-                    out.append(chr(int(hexcode, 16)))
+                    out.append(_CP1252[int(hexcode, 16)])
             elif esc is not None:
                 if esc in "\\{}":
                     out.append(esc)
@@ -2386,7 +2445,7 @@ def _xls_string(body: bytes, pos: int) -> tuple[str, int]:
         s = body[pos : pos + 2 * cch].decode("utf-16-le", "replace")
         pos += 2 * cch
     else:
-        s = body[pos : pos + cch].decode("latin-1")
+        s = decode_cp1252(body[pos : pos + cch])
         pos += cch
     return s, pos + 4 * c_run + phon
 
@@ -2438,7 +2497,8 @@ def _xls_sst_strings(segments: list[bytes], total: int) -> list[str]:
             data = segments[si][pos : pos + take * unit]
             pos += take * unit
             parts.append(
-                data.decode("utf-16-le" if high else "latin-1", "replace")
+                data.decode("utf-16-le", "replace")
+                if high else decode_cp1252(data)
             )
             left -= take
         out.append("".join(parts))
@@ -2486,7 +2546,8 @@ def decode_xls_sheets(b: bytes) -> list[tuple[str, str]]:
             hi = body[7] & 0x01
             raw = body[8 : 8 + nlen * (2 if hi else 1)]
             names.append(
-                raw.decode("utf-16-le" if hi else "latin-1", "replace")
+                raw.decode("utf-16-le", "replace")
+                if hi else decode_cp1252(raw)
             )
         elif rtype == 0x00FC:  # SST (+ trailing CONTINUE records)
             total = struct.unpack_from("<I", body, 4)[0]
@@ -2557,12 +2618,52 @@ SHEET_HEADER = "\fSHEET {name}\n"
 
 
 def decode_text_bytes(b: bytes) -> str:
-    """Text payload decode for the span branches: BOM-stripped UTF-8
-    with replacement for stray invalid bytes (the sniff head was
-    validated; deep-body junk must not kill the document)."""
+    """Charset-aware text payload decode for the span branches, in
+    WHATWG sniff order: BOM wins (UTF-8 / UTF-16LE / UTF-16BE), else
+    strict UTF-8, else windows-1252 (the web's de-facto single-byte
+    default — a superset of latin-1 on every defined byte)."""
     if b[:3] == b"\xef\xbb\xbf":
-        b = b[3:]
-    return b.decode("utf-8", "replace")
+        return b[3:].decode("utf-8", "replace")
+    if b[:2] == b"\xff\xfe" and b[2:4] != b"\x00\x00":
+        return b[2:].decode("utf-16-le", "replace")
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return decode_cp1252(b)
+
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([-\w.:]+)""", re.I
+)
+
+
+def decode_html_bytes(b: bytes) -> str:
+    """HTML decode with ``<meta charset>`` consultation (the WHATWG
+    prescan): a BOM always wins; otherwise a charset declaration in
+    the first 2 KB picks the codec (iso-8859-1 upgraded to
+    windows-1252 per the WHATWG label table); otherwise fall through
+    to the strict-UTF-8 → cp1252 ladder."""
+    if b[:3] == b"\xef\xbb\xbf" or b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return decode_text_bytes(b)
+    m = _META_CHARSET_RE.search(b[:2048])
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        if label in ("iso-8859-1", "latin-1", "latin1", "us-ascii",
+                     "ascii", "windows-1252", "cp1252"):
+            return decode_cp1252(b)
+        if label not in ("utf-8", "utf8"):
+            try:
+                codec = codecs.lookup(label).name
+            except LookupError:
+                codec = None
+            if codec and not codec.startswith("utf-16"):
+                try:
+                    return b.decode(codec, "replace")
+                except (LookupError, ValueError):
+                    pass
+    return decode_text_bytes(b)
 
 
 def decode_csv_page(b: bytes, delimiter: str = ",") -> str:
@@ -2575,7 +2676,7 @@ def decode_csv_page(b: bytes, delimiter: str = ",") -> str:
     import csv as _csv
     import io as _io
 
-    text = b.decode("utf-8", "replace")
+    text = decode_text_bytes(b)
     rows = []
     for rec in _csv.reader(_io.StringIO(text), delimiter=delimiter):
         cells = [c if c is not None else "" for c in rec]
@@ -2602,6 +2703,12 @@ def parse_raw_bytes(
               bytes decoded; the format column reports ``gz+<inner>``
               (``detect_format_bytes`` routing still says ``gz`` — the
               router sees the container, the decoder the content);
+      utf16 → BOM-detected UTF-16LE/BE payload transcoded to UTF-8 and
+              re-dispatched (UTF-16 files are routinely html/json/csv);
+              format reports ``utf16+<inner>``. Non-UTF-8 single-byte
+              text falls back to WHATWG windows-1252 (never latin-1 —
+              0x80-0x9F are curly quotes/dashes on the web), and the
+              html branch honors ``<meta charset>`` declarations;
       html  → single ``html`` span (downstream strip_html handles it);
       txt/json/xml → paragraph-split ``text`` spans (txt-loader S3);
       csv/tsv (by extension hint) → one spreadsheet-semantics ``table``
@@ -2665,6 +2772,15 @@ def parse_raw_bytes(
             iext = ext.rsplit(".", 1)[0] if ext and "." in ext else None
             ifmt, out = spans_of(inner, iext, depth + 1)
             return f"{fmt}+{ifmt}", out
+        if fmt == "utf16" and depth < 2:
+            # Transcode to UTF-8 bytes and re-dispatch: UTF-16 files
+            # are routinely html/json/csv, not just plain text, and
+            # the content sniffers only speak UTF-8. Same chain
+            # convention as compressed payloads ('utf16+html').
+            codec = "utf-16-le" if b[:2] == b"\xff\xfe" else "utf-16-be"
+            inner = b[2:].decode(codec, "replace").encode("utf-8")
+            ifmt, out = spans_of(inner, ext, depth + 1)
+            return f"utf16+{ifmt}", out
         if fmt == "tar" and depth < 2:
             k = 0
             for name, data in tar_members(b):
@@ -2733,7 +2849,7 @@ def parse_raw_bytes(
             for i, (t0, t1, cue) in enumerate(decode_subtitle_cues(b)):
                 out.append(span("text", cue, f"cue:{t0}-{t1}", i))
         elif fmt == "html":
-            out.append(span("html", decode_text_bytes(b), None, 0))
+            out.append(span("html", decode_html_bytes(b), None, 0))
         elif fmt == "txt" and last in ("csv", "tsv"):
             fmt = last
             out.append(
@@ -2752,6 +2868,17 @@ def parse_raw_bytes(
                 out.append(span("text", para, None, i))
         elif fmt in media_formats:
             out.append(span("media", None, f"bytes:{fmt}", 0))
+        elif fmt == "unknown" and last in ("html", "htm"):
+            # content sniff needs a valid-UTF-8 head, so cp1252 bytes
+            # inside the first 256 bytes defeat it — fall back to the
+            # extension hint and let the charset-aware HTML decode
+            # (meta-charset prescan) sort the payload out.
+            fmt = "html"
+            out.append(span("html", decode_html_bytes(b), None, 0))
+        elif fmt == "unknown" and last in ("txt", "text", "md"):
+            for i, para in enumerate(decode_text_bytes(b).split("\n\n")):
+                out.append(span("text", para, None, i))
+            fmt = "txt"
         return fmt, out
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1974,6 +1974,50 @@ def _q_pdf_encoding_spans(spark, sf):
     )
 
 
+def _q_pdf_cid_spans(spark, sf):
+    """Composite-font (Type0 / predefined Identity-H CMap, no
+    /ToUnicode) decode, value-level: page text shown as 2-byte CID
+    hex strings that only the identity mapping recovers (reference:
+    pypdf's predefined-CMap path, document_loader_pypdf.py:104-152);
+    the font resolves through /Pages-inherited /Resources. Odd doc_ids
+    add FlateDecode, doc_id%3==0 packs the tree into an /ObjStm. The
+    oracle replays the by-construction page text."""
+    from extractthinker_spark.operators.parse_core import strip_page_header
+    from extractthinker_spark.operators.rawbytes import (
+        make_fixture_pdf_tree,
+        parse_raw_bytes,
+    )
+
+    base = (
+        _raw_two_page_base(spark, sf)
+        .withColumn("z", F.col("doc_id").cast("long") % 2 == 1)
+        .withColumn("os", F.col("doc_id").cast("long") % 3 == 0)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            pdf = pdf.assign(raw=[
+                make_fixture_pdf_tree(
+                    [l1, l2], identity_h=True, compress=bool(z),
+                    scramble=True, objstm=bool(os_),
+                )
+                for l1, l2, z, os_ in zip(
+                    pdf["l1"], pdf["l2"], pdf["z"], pdf["os"]
+                )
+            ])
+            yield pdf[["doc_id", "raw"]]
+
+    raw = base.mapInPandas(build, schema="doc_id string, raw binary")
+    parsed = parse_raw_bytes(raw)
+    return parsed.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s.offset") + 1).alias("page_no"),
+        strip_page_header(F.col("s.text")).alias("content"),
+    )
+
+
 def _q_jpeg_dc_features(spark, sf):
     """Real JPEG luminance, value-level (invertible construction):
     per-doc 4x6 block-mean grids from a doc_id formula, encoded as
@@ -2701,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top,
         # Block B: new round-6 queries (insert here, before Block C).
         "charset_extract": _q_charset_extract,
+        "pdf_cid_spans": _q_pdf_cid_spans,
         # Block C: r5 driver-green keys (CORRECTNESS_r05) — refresh as
         # window space allows; all have rows within the 2-round window.
         "tokenize_count": _q_tokenize,
@@ -4005,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["substring_dup_spans"] = _substring_dup_sql()
     sql["pdf_encoding_spans"] = _PDF_TREE_SQL
+    sql["pdf_cid_spans"] = _PDF_TREE_SQL
     sql["jpeg_dc_features"] = """
         WITH g AS (
           SELECT doc_id,

@@ -557,10 +557,21 @@ def _pdf_simple_decode(raw: bytes, enc: dict[int, str] | None) -> str:
     return "".join(enc.get(b) or _CP1252[b] for b in raw)
 
 
-def _pdf_unescape(s: bytes, enc: dict[int, str] | None = None) -> str:
+def _pdf_unescape(
+    s: bytes,
+    enc: dict[int, str] | None = None,
+    cmap: tuple[int, dict[int, str], bool] | None = None,
+) -> str:
     """Literal string → text: escape decode, then the simple-font
-    encoding map (see :func:`_pdf_collect_encoding`)."""
-    return _pdf_simple_decode(_pdf_unescape_bytes(s), enc)
+    encoding map (see :func:`_pdf_collect_encoding`). A MULTI-byte
+    ``cmap`` (composite font — Identity-H or a wide ToUnicode) reads
+    the unescaped bytes as glyph codes instead; single-byte cmaps are
+    deliberately not applied here, matching the hex/literal split real
+    writers emit."""
+    raw = _pdf_unescape_bytes(s)
+    if cmap is not None and cmap[0] > 1:
+        return _pdf_codes_to_text(raw, cmap, enc)
+    return _pdf_simple_decode(raw, enc)
 
 
 # ToUnicode CMap sections (PDF 32000-1 §9.10.3 / Adobe CMap spec):
@@ -840,6 +851,26 @@ def _pdf_resolve(
 
 _PDF_FONT_ENTRY_RE = re.compile(rb"/([A-Za-z0-9._+\-]+)\s+(\d+)\s+\d+\s+R")
 _PDF_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_PDF_IDENTITY_ENC_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
+
+
+class _IdentityCMapMapping(dict):
+    """Virtual {code -> chr(code)} for the predefined Identity-H/V
+    CMaps (PDF 32000-1 §9.7.5.2): every 2-byte code maps to itself.
+    Shaped as a dict so the show-string decoders' ``mapping.get``
+    protocol needs no special-casing; surrogate code units stay
+    unmapped (they are not scalar values)."""
+
+    def get(self, code, default=None):  # noqa: A003
+        if 0 <= code <= 0xFFFF and not (0xD800 <= code <= 0xDFFF):
+            return chr(code)
+        return default
+
+    def __bool__(self) -> bool:
+        return True
+
+
+_IDENTITY_CMAP = _IdentityCMapMapping()
 _PDF_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
 
 _FontInfo = tuple  # (cmap | None, enc | None)
@@ -887,6 +918,13 @@ def _pdf_page_fonts(
                 )
                 if parsed:
                     cmap = (parsed[0], parsed[1], False)
+        if cmap is None and _PDF_IDENTITY_ENC_RE.search(fbody):
+            # Predefined Identity-H/V CMap with no /ToUnicode: 2-byte
+            # codes ARE the CIDs; subset embedders overwhelmingly
+            # assign Unicode-ordered CIDs, so the identity read
+            # recovers the text pypdf would (the alternative — raw
+            # code units through a 1-byte decode — is always wrong).
+            cmap = (2, _IDENTITY_CMAP, False)
         encv = _pdf_resolve(objs, fbody, b"/Encoding")
         if encv is None:
             nm = re.search(
@@ -957,6 +995,17 @@ def _pdf_hex_string(
         raw = bytes.fromhex(digits.decode("ascii"))
     except ValueError:
         return ""
+    return _pdf_codes_to_text(raw, cmap, enc)
+
+
+def _pdf_codes_to_text(
+    raw: bytes,
+    cmap: tuple[int, dict[int, str], bool] | None,
+    enc: dict[int, str] | None,
+) -> str:
+    """Show-string bytes → text through a glyph-code ``cmap`` (shared
+    by the hex and literal string paths — see :func:`_pdf_hex_string`
+    for the fallback rules)."""
     if cmap is None:
         return _pdf_simple_decode(raw, enc)
     width, mapping, strict = cmap
@@ -1020,14 +1069,14 @@ def _pdf_block_text(
             if op == b"'":
                 newline()
             cur.append(
-                _pdf_unescape(m.group(1), cur_enc)
+                _pdf_unescape(m.group(1), cur_enc, cur_cmap)
                 if m.group(1) is not None
                 else _pdf_hex_string(m.group(3), cur_cmap, cur_enc)
             )
         elif m.group(5) is not None:  # [ ... ] TJ
             cur.append(
                 "".join(
-                    _pdf_unescape(sm.group(1), cur_enc)
+                    _pdf_unescape(sm.group(1), cur_enc, cur_cmap)
                     if sm.group(1) is not None
                     else _pdf_hex_string(sm.group(2), cur_cmap, cur_enc)
                     for sm in _PDF_STR_RE.finditer(m.group(5))
@@ -1436,17 +1485,25 @@ _AES_SBOX, _AES_INV_SBOX = _aes_build_sbox()
 
 
 def _aes_key_schedule(key: bytes) -> list[int]:
+    """FIPS-197 §5.2 for AES-128 (Nk=4, 10 rounds) and AES-256 (Nk=8,
+    14 rounds): RotWord+SubWord+Rcon every Nk words, plus the extra
+    SubWord at word Nk/2 for 256-bit keys."""
+    nk = len(key) // 4
+    nr = nk + 6
     rk = list(key)
     rcon = 1
-    while len(rk) < 176:
+    while len(rk) < 16 * (nr + 1):
         t = rk[-4:]
-        if len(rk) % 16 == 0:
+        wi = len(rk) // 4
+        if wi % nk == 0:
             t = [
                 _AES_SBOX[t[1]] ^ rcon, _AES_SBOX[t[2]],
                 _AES_SBOX[t[3]], _AES_SBOX[t[0]],
             ]
             rcon = _aes_xtime(rcon)
-        rk += [rk[-16 + i] ^ t[i] for i in range(4)]
+        elif nk == 8 and wi % nk == 4:
+            t = [_AES_SBOX[x] for x in t]
+        rk += [rk[-4 * nk + i] ^ t[i] for i in range(4)]
     return rk
 
 
@@ -1475,22 +1532,24 @@ def _aes_mix_columns(s: list[int], inv: bool = False) -> list[int]:
 
 
 def _aes_encrypt_block(rk: list[int], block: bytes) -> bytes:
+    nr = len(rk) // 16 - 1
     s = [b ^ k for b, k in zip(block, rk[:16])]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_AES_SBOX[x] for x in s]
         s = _aes_shift_rows(s)
         s = _aes_mix_columns(s)
         s = [x ^ k for x, k in zip(s, rk[16 * rnd : 16 * rnd + 16])]
     s = [_AES_SBOX[x] for x in s]
     s = _aes_shift_rows(s)
-    return bytes(x ^ k for x, k in zip(s, rk[160:176]))
+    return bytes(x ^ k for x, k in zip(s, rk[16 * nr : 16 * nr + 16]))
 
 
 def _aes_decrypt_block(rk: list[int], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, rk[160:176])]
+    nr = len(rk) // 16 - 1
+    s = [b ^ k for b, k in zip(block, rk[16 * nr : 16 * nr + 16])]
     s = _aes_inv_shift_rows(s)
     s = [_AES_INV_SBOX[x] for x in s]
-    for rnd in range(9, 0, -1):
+    for rnd in range(nr - 1, 0, -1):
         s = [x ^ k for x, k in zip(s, rk[16 * rnd : 16 * rnd + 16])]
         s = _aes_mix_columns(s, inv=True)
         s = _aes_inv_shift_rows(s)
@@ -1530,10 +1589,55 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _aes_cbc_nopad_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC (no padding, explicit IV, IV not emitted) — the shape
+    the PDF 2.0 key-derivation algorithms use (ISO 32000-2 §7.6.4)."""
+    rk = _aes_key_schedule(key)
+    out, prev = bytearray(), iv
+    for i in range(0, len(data), 16):
+        blk = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_nopad_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _aes_key_schedule(key)
+    out, prev = bytearray(), iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        pt = _aes_decrypt_block(rk, blk)
+        out += bytes(x ^ y for x, y in zip(pt, prev))
+        prev = blk
+    return bytes(out)
+
+
+def _pdf_hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 iterated hash): SHA-256 seed, then
+    rounds of AES-128-CBC over 64 repetitions of (pwd + K + udata)
+    with the digest family re-picked from the ciphertext each round;
+    stop once round >= 64 and the last ciphertext byte <= round-32."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_nopad_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _pdf_file_key(enc: bytes, id0: bytes) -> tuple[bytes, str] | None:
-    """(Algorithm 2 file key, cipher) for the EMPTY user password:
-    R=2/3 RC4 and R=4 crypt-filter handlers ('rc4' | 'aes' — AESV2).
-    None for unsupported revisions (R>=5 AESV3 / user-password)."""
+    """(file encryption key, cipher) for the EMPTY user password:
+    R=2/3 RC4, R=4 crypt filters ('rc4' | 'aes' — AESV2), and R=5/6
+    AESV3 ('aes256' — SHA-2 handlers, ISO 32000-2 Algorithm 2.A/2.B,
+    /U validation + /UE unwrap). None when unsupported or the user
+    password is not empty."""
     import hashlib
 
     fm = re.search(rb"/Filter\s*/Standard\b", enc)
@@ -1543,8 +1647,24 @@ def _pdf_file_key(enc: bytes, id0: bytes) -> tuple[bytes, str] | None:
     if not (fm and rm and o and pm):
         return None
     r = int(rm.group(1))
+    if r in (5, 6):
+        u = _pdf_string_bytes(enc, rb"/U")
+        ue = _pdf_string_bytes(enc, rb"/UE")
+        if not u or not ue or len(u) < 48 or len(ue) < 32:
+            return None
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            if _pdf_hash_2b(b"", vsalt) != u[:32]:
+                return None  # non-empty user password: out of subset
+            ik = _pdf_hash_2b(b"", ksalt)
+        else:  # R5 (the withdrawn AES-256 rev: single SHA-256)
+            if hashlib.sha256(vsalt).digest() != u[:32]:
+                return None
+            ik = hashlib.sha256(ksalt).digest()
+        fkey = _aes_cbc_nopad_decrypt(ik, b"\x00" * 16, ue[:32])
+        return fkey, "aes256"
     if r not in (2, 3, 4):
-        return None  # R>=5 (AESV3, SHA-256 handlers): out of subset
+        return None
     cipher = "aes" if (r == 4 and rb"/AESV2" in enc) else "rc4"
     lm = re.search(rb"/Length\s+(\d+)", enc)
     keylen = 5 if r == 2 else (int(lm.group(1)) // 8 if lm else 5)
@@ -1571,9 +1691,9 @@ def _pdf_object_key(key: bytes, num: int, cipher: str) -> bytes:
 
 def _pdf_decrypt(b: bytes) -> bytes:
     """Decrypt every stream payload when the document carries a
-    supported /Encrypt dict (RC4 R=2/3, AES-128 AESV2 R=4 — both
-    empty-user-password standard handlers); otherwise the input is
-    returned untouched. RC4 is length-preserving; AES payloads shrink
+    supported /Encrypt dict (RC4 R=2/3, AES-128 AESV2 R=4, AES-256
+    AESV3 R=5/6 — all empty-user-password standard handlers);
+    otherwise the input is returned untouched. RC4 is length-preserving; AES payloads shrink
     (IV + padding), so the document is re-spliced rather than patched
     in place."""
     em = _PDF_ENCRYPT_REF_RE.search(b)
@@ -1601,11 +1721,16 @@ def _pdf_decrypt(b: bytes) -> bytes:
         sm = _PDF_STREAM_RE.search(m.group(2))
         if not sm:
             continue
-        okey = _pdf_object_key(key, num, cipher)
-        plain = (
-            _aes_cbc_decrypt(okey, sm.group(2))
-            if cipher == "aes" else _rc4(okey, sm.group(2))
-        )
+        if cipher == "aes256":
+            # V5: the file key is used directly (no Algorithm 1
+            # per-object salt — ISO 32000-2 §7.6.3.1)
+            plain = _aes_cbc_decrypt(key, sm.group(2))
+        else:
+            okey = _pdf_object_key(key, num, cipher)
+            plain = (
+                _aes_cbc_decrypt(okey, sm.group(2))
+                if cipher == "aes" else _rc4(okey, sm.group(2))
+            )
         start = m.start(2) + sm.start(2)
         splices.append((start, start + len(sm.group(2)), plain))
     out, pos = bytearray(), 0
@@ -1617,7 +1742,7 @@ def _pdf_decrypt(b: bytes) -> bytes:
 
 
 def encrypt_fixture_pdf(
-    b: bytes, key_bits: int = 128, aes: bool = False
+    b: bytes, key_bits: int = 128, aes: bool = False, r6: bool = False
 ) -> bytes:
     """Wrap a fixture PDF in the standard security handler (empty user
     password): every stream payload encrypted with its per-object key
@@ -1630,7 +1755,30 @@ def encrypt_fixture_pdf(
     enc_num = 9000
     o_bytes = hashlib.md5(b"fixture-owner-key").digest() * 2  # 32 bytes
     id0 = hashlib.md5(b"fixture-id").digest()
-    if aes:
+    if r6:
+        # AES-256 R6: derive /U and /UE from a deterministic file key
+        # exactly as Algorithm 8 does for the empty user password, so
+        # _pdf_file_key's 2.B validation + /UE unwrap round-trips.
+        fkey = hashlib.sha256(b"fixture-aes256-file-key").digest()
+        vsalt = hashlib.md5(b"fixture-vsalt").digest()[:8]
+        ksalt = hashlib.md5(b"fixture-ksalt").digest()[:8]
+        u_bytes = _pdf_hash_2b(b"", vsalt) + vsalt + ksalt
+        ue = _aes_cbc_nopad_encrypt(
+            _pdf_hash_2b(b"", ksalt), b"\x00" * 16, fkey
+        )
+        enc_body = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O <%s> /OE <%s> /U <%s> "
+            b"/UE <%s> /P -44 >>"
+            % (
+                (o_bytes + b"\0" * 16).hex().encode("ascii"),
+                (b"\0" * 32).hex().encode("ascii"),
+                u_bytes.hex().encode("ascii"),
+                ue.hex().encode("ascii"),
+            )
+        )
+    elif aes:
         enc_body = (
             b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
             b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
@@ -1665,12 +1813,16 @@ def encrypt_fixture_pdf(
         sm = _PDF_STREAM_RE.search(m.group(2))
         if not sm:
             continue
-        okey = _pdf_object_key(key, num, cipher)
-        if cipher == "aes":
+        if cipher == "aes256":
             iv = hashlib.md5(b"fixture-iv-%d" % num).digest()
-            ct = _aes_cbc_encrypt(okey, iv, sm.group(2))
+            ct = _aes_cbc_encrypt(key, iv, sm.group(2))
         else:
-            ct = _rc4(okey, sm.group(2))
+            okey = _pdf_object_key(key, num, cipher)
+            if cipher == "aes":
+                iv = hashlib.md5(b"fixture-iv-%d" % num).digest()
+                ct = _aes_cbc_encrypt(okey, iv, sm.group(2))
+            else:
+                ct = _rc4(okey, sm.group(2))
         start = m.start(2) + sm.start(2)
         splices.append((start, start + len(sm.group(2)), ct))
     out, pos = bytearray(), 0
@@ -2957,6 +3109,7 @@ def make_fixture_pdf_tree(
     objstm: bool = False,
     subset_font: bool = False,
     encoding_diff: bool = False,
+    identity_h: bool = False,
 ) -> bytes:
     """Full-structure fixture PDF: /Catalog → /Pages → /Kids tree, one
     /Page + /Contents stream object per page. With ``scramble`` the
@@ -2967,7 +3120,10 @@ def make_fixture_pdf_tree(
     /ObjStm (the PDF 1.5+ layout real writers emit); ``subset_font``
     emits hex strings of 2-byte GLYPH CODES plus the ToUnicode CMap
     mapping them back — the subset-embedded-font shape whose text is
-    garbage without CMap decoding."""
+    garbage without CMap decoding; ``identity_h`` emits 2-byte codes
+    under a Type0 font whose /Encoding is the predefined Identity-H
+    CMap with NO /ToUnicode (the font is named through the /Pages
+    /Resources the pages inherit)."""
     nump = len(pages)
     code_of: dict[str, int] = {}
     if subset_font:
@@ -2983,9 +3139,17 @@ def make_fixture_pdf_tree(
         code_of = {c: 128 + i for i, c in enumerate(chars)}
     objs: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
     kids = " ".join(f"{3 + i} 0 R" for i in range(nump)).encode("ascii")
-    objs[2] = (
-        b"<< /Type /Pages /Kids [ " + kids + b" ] /Count %d >>" % nump
-    )
+    if identity_h:
+        # font resolved through inherited /Pages resources (§7.7.3.4)
+        objs[2] = (
+            b"<< /Type /Pages /Kids [ " + kids + b" ] /Count %d "
+            b"/Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (nump, 3 + 2 * nump)
+        )
+    else:
+        objs[2] = (
+            b"<< /Type /Pages /Kids [ " + kids + b" ] /Count %d >>" % nump
+        )
     for i, text in enumerate(pages):
         objs[3 + i] = (
             b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>"
@@ -2999,6 +3163,11 @@ def make_fixture_pdf_tree(
         elif encoding_diff:
             shows = "\n0 -14 Td\n".join(
                 "<" + "".join("%02x" % code_of[c] for c in line) + "> Tj"
+                for line in text.split("\n")
+            )
+        elif identity_h:
+            shows = "\n0 -14 Td\n".join(
+                "<" + "".join("%04x" % ord(c) for c in line) + "> Tj"
                 for line in text.split("\n")
             )
         elif hex_strings:
@@ -3043,6 +3212,13 @@ def make_fixture_pdf_tree(
             + cmap + b"\nendstream"
         )
         extra_streams.append(cm_num)
+    elif identity_h:
+        font_num = 3 + 2 * nump
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Fix "
+            b"/Encoding /Identity-H >>"
+        )
+        extra_streams.append(font_num)
     elif encoding_diff:
         # Type1 font dict carrying the /Differences array; kept out of
         # any /ObjStm so the raw-byte /Encoding scan (the documented
@@ -3071,7 +3247,7 @@ def make_fixture_pdf_tree(
         header = b" ".join(b"%d %d" % p for p in offsets) + b"\n"
         data = zlib.compress(header + payload)
         stm_num = (
-            4 + 2 * nump if (subset_font or encoding_diff)
+            4 + 2 * nump if (subset_font or encoding_diff or identity_h)
             else 3 + 2 * nump
         )
         objs = {

@@ -1974,6 +1974,59 @@ def _q_pdf_encoding_spans(spark, sf):
     )
 
 
+def _q_pack_sequences(spark, sf):
+    """Training-sequence packing (the funnel's last mile): greedy
+    first-fit of documents into 256-token sequences in portable-hash
+    order within 8 pack groups. The oracle replays the greedy state
+    machine with a recursive CTE (the NOTES.md iterative-algorithm
+    pattern) over the same md5-derived hash and token counts."""
+    from extractthinker_spark.operators.packing import pack_sequences
+
+    d = _tp(spark, sf, "documents")
+    return pack_sequences(d, budget=256, n_groups=8)
+
+
+def _pack_sequences_sql() -> str:
+    return rf"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id::VARCHAR AS k,
+                 CAST(coalesce((
+                   SELECT sum(CASE WHEN length(tok) <= 4 THEN 1
+                              ELSE greatest(1, CAST(floor(length(tok)/4)
+                                   AS BIGINT)) END)
+                   FROM unnest(regexp_extract_all(lower(d.text),
+                        '{TOKEN_CHUNK_PATTERN}')) AS u(tok)), 0)
+                   AS BIGINT) AS tok,
+                 ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   AS h
+          FROM documents d),
+        rn AS (
+          SELECT k, tok, CAST(h % 8 AS INT) AS g,
+                 row_number() OVER (PARTITION BY h % 8 ORDER BY h, k)
+                   AS rn
+          FROM base),
+        p AS (
+          SELECT g, rn, k, tok, 0 AS seq_idx, tok AS run
+          FROM rn WHERE rn = 1
+          UNION ALL
+          SELECT b.g, b.rn, b.k, b.tok,
+                 CASE WHEN p.run + b.tok <= 256 THEN p.seq_idx
+                      ELSE p.seq_idx + 1 END,
+                 CASE WHEN p.run + b.tok <= 256 THEN p.run + b.tok
+                      ELSE b.tok END
+          FROM p JOIN rn b ON b.g = p.g AND b.rn = p.rn + 1
+        )
+        SELECT g AS pack_group,
+               g::VARCHAR || '-' || seq_idx::VARCHAR AS seq_id,
+               string_agg(k, ',' ORDER BY rn) AS doc_ids,
+               CAST(count(*) AS INT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS n_tokens,
+               round(sum(tok) / 256.0, 4) AS fill_frac
+        FROM p
+        GROUP BY g, seq_idx
+    """
+
+
 def _q_pdf_cid_spans(spark, sf):
     """Composite-font (Type0 / predefined Identity-H CMap, no
     /ToUnicode) decode, value-level: page text shown as 2-byte CID
@@ -2746,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Block B: new round-6 queries (insert here, before Block C).
         "charset_extract": _q_charset_extract,
         "pdf_cid_spans": _q_pdf_cid_spans,
+        "pack_sequences": _q_pack_sequences,
         # Block C: r5 driver-green keys (CORRECTNESS_r05) — refresh as
         # window space allows; all have rows within the 2-round window.
         "tokenize_count": _q_tokenize,
@@ -4051,6 +4105,7 @@ def oracle_sql() -> dict[str, str]:
     sql["substring_dup_spans"] = _substring_dup_sql()
     sql["pdf_encoding_spans"] = _PDF_TREE_SQL
     sql["pdf_cid_spans"] = _PDF_TREE_SQL
+    sql["pack_sequences"] = _pack_sequences_sql()
     sql["jpeg_dc_features"] = """
         WITH g AS (
           SELECT doc_id,

@@ -386,6 +386,23 @@ class Process:
             self._documents = self._require_docs().join(keep, "doc_id")
         return self
 
+    def pack_sequences(
+        self, budget: int, n_groups: int = 64
+    ) -> DataFrame:
+        """Pack the EXTRACTED text into fixed-token-budget training
+        sequences (operators/packing.py greedy first-fit in doc-hash
+        order): returns the (pack_group, seq_id, doc_ids, n_docs,
+        n_tokens, fill_frac) manifest — the funnel's last mile before
+        the trainer."""
+        from extractthinker_spark.operators.packing import (
+            pack_sequences as _pack,
+        )
+
+        merged = doc_text(self.extract_content(nest=True)).select(
+            "doc_id", F.col("content").alias("text")
+        )
+        return _pack(merged, budget=budget, n_groups=n_groups)
+
     def scrub_pii(self, kinds: list[str] | None = None) -> Process:
         """Redact PII (functions/pii.py patterns) in-place across every
         text-bearing span of this process's documents — span structure,

@@ -8,7 +8,8 @@ the iterative/near-dup stages re-optimize catastrophically otherwise):
     extract -> unicode hygiene -> C4 gate -> Gopher gate ->
     language filter -> PII scrub -> exact dedup -> MinHash near-dup
     canonical keep-list -> corpus line dedup -> [exact-substring
-    scrub] -> [per-host cap] -> write
+    scrub] -> [decontamination] -> [per-host cap] ->
+    [sequence packing] -> write
 
 Run:
 
@@ -59,6 +60,11 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
                     help="benchmark/eval-set parquet with a `text` "
                          "column: drop docs sharing any word n-gram")
     ap.add_argument("--decontam-ngram", type=int, default=13)
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="pack the curated corpus into training "
+                         "sequences of this token budget (writes "
+                         "<output>/sequences)")
+    ap.add_argument("--pack-groups", type=int, default=64)
     ap.add_argument("--no-c4", action="store_true")
     ap.add_argument("--no-gopher", action="store_true")
     ap.add_argument("--nfkc", action="store_true",
@@ -218,10 +224,28 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
             os.path.join(args.output, "_audit", "host_stats")
         )
 
+    # 13. sequence packing (training-output shape): pack the curated
+    # corpus into fixed-token-budget sequences; the manifest rides
+    # next to the data so the trainer never re-derives it
+    if args.pack_budget:
+        from extractthinker_spark.operators.packing import pack_sequences
+
+        seqs = pack_sequences(
+            text, budget=args.pack_budget, n_groups=args.pack_groups
+        )
+        seqs.write.mode("overwrite").parquet(
+            os.path.join(args.output, "sequences")
+        )
+        funnel["packed_sequences"] = spark.read.parquet(
+            os.path.join(args.output, "sequences")
+        ).count()
+
     text.write.mode("overwrite").parquet(
         os.path.join(args.output, "data")
     )
-    funnel["written"] = funnel[list(funnel)[-1]]
+    funnel["written"] = funnel[
+        [k for k in funnel if not k.startswith("packed")][-1]
+    ]
     report = {
         "funnel": funnel,
         "wall_seconds": round(time.time() - t0, 2),

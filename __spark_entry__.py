@@ -2077,12 +2077,16 @@ def _q_jpeg_dc_features(spark, sf):
     baseline JPEGs (layout varies: grayscale / 3-component 4:4:4 /
     4:2:0 / restart intervals by doc_id), entropy-decoded back by
     decode_jpeg_dc_luminance inside mapInPandas; the oracle replays
-    the formula (decode(encode(x)) == x — NOTES.md pattern)."""
+    the formula (decode(encode(x)) == x — NOTES.md pattern). Every
+    7th doc encodes PROGRESSIVE (SOF2: interleaved Al=1 first DC scan
+    + per-component raster refinement scans) so the Annex G path has
+    driver-level value coverage too."""
     import numpy as np
 
     from extractthinker_spark.operators.media import (
         decode_jpeg_dc_luminance,
         make_fixture_jpeg,
+        make_fixture_jpeg_progressive,
     )
 
     d = _tp(spark, sf, "documents").select("doc_id")
@@ -2096,7 +2100,11 @@ def _q_jpeg_dc_features(spark, sf):
                     [[(k * 7 + r * 31 + c * 13) % 256 for c in range(6)]
                      for r in range(4)]
                 )
-                jpg = make_fixture_jpeg(
+                encoder = (
+                    make_fixture_jpeg_progressive if k % 7 == 0
+                    else make_fixture_jpeg
+                )
+                jpg = encoder(
                     bm,
                     components=3 if k % 2 else 1,
                     subsample=(k % 3 == 0),

@@ -615,14 +615,44 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_split_entropy(b: bytes, start: int) -> tuple[list[bytes], int]:
+    """Un-stuffed entropy segments (split at RSTn) from ``start`` up to
+    the next real marker; returns (segments, index of that marker)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = start
+    while j < len(b):
+        if b[j] == 0xFF and j + 1 < len(b):
+            nxt = b[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break
+        cur.append(b[j])
+        j += 1
+    segments.append(bytes(cur))
+    return segments, j
+
+
 def decode_jpeg_dc_luminance(b: bytes) -> "np.ndarray":
     """Per-8x8-block mean luminance (uint8 2D grid, cropped to the
-    image's block extent) of a BASELINE (SOF0/SOF1) JPEG: marker walk
-    for DQT/SOF/DHT/DRI/SOS, full Huffman decode of the interleaved
-    scan with byte-unstuffing and RSTn predictor resets, keeping the
-    dequantized DC of the first (luminance) component only:
-    mean = DC*q0/8 + 128. Progressive/arithmetic JPEGs raise
-    ValueError (callers fall back to byte features)."""
+    image's block extent) of a BASELINE (SOF0/SOF1) or PROGRESSIVE
+    (SOF2) JPEG: marker walk for DQT/SOF/DHT/DRI/SOS, Huffman decode
+    of every DC-bearing scan with byte-unstuffing and RSTn resets,
+    keeping the dequantized DC of the first (luminance) component:
+    mean = DC*q0/8 + 128. Progressive handling is the T.81 Annex G
+    spectral-selection/successive-approximation DC subset — the first
+    DC scan (interleaved or single-component) carries Huffman deltas
+    shifted by Al and refinement scans append one raw bit per block;
+    AC scans are skipped outright (only DC reaches the features).
+    Arithmetic/lossless/hierarchical SOFs raise ValueError (callers
+    fall back to byte features)."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a jpeg")
     qt: dict[int, int] = {}          # table id -> q[0] (DC quant only)
@@ -631,15 +661,19 @@ def decode_jpeg_dc_luminance(b: bytes) -> "np.ndarray":
     comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
     w = h = 0
     restart = 0
-    scan_map: list[tuple[int, int]] = []  # per scan comp: (td, ta)
+    progressive = False
+    dc: list["np.ndarray"] = []      # per-comp DC coefficient grids
+    mcus_x = mcus_y = 0
+    got_dc_scan = False
     i = 2
-    entropy = None
     while i + 1 < len(b):
         if b[i] != 0xFF:
             i += 1
             continue
         m = b[i + 1]
-        if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD7:
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
             i += 2
             continue
         if i + 3 >= len(b):
@@ -657,7 +691,8 @@ def decode_jpeg_dc_luminance(b: bytes) -> "np.ndarray":
                 else:
                     qt[tq] = seg[j]
                     j += 64
-        elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = m == 0xC2
             h = (seg[1] << 8) | seg[2]
             w = (seg[3] << 8) | seg[4]
             comps = [
@@ -665,10 +700,18 @@ def decode_jpeg_dc_luminance(b: bytes) -> "np.ndarray":
                  seg[7 + 3 * c] & 15, seg[8 + 3 * c])
                 for c in range(seg[5])
             ]
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            dc = [
+                np.zeros((mcus_y * cv, mcus_x * ch), dtype=np.int64)
+                for (_cid, ch, cv, _tq) in comps
+            ]
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: non-baseline SOF unsupported")
-        elif m == 0xC4:  # DHT
+            raise ValueError("jpeg: unsupported SOF (arithmetic/lossless)")
+        elif m == 0xC4:  # DHT (may be redefined between scans)
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 15
@@ -682,85 +725,112 @@ def decode_jpeg_dc_luminance(b: bytes) -> "np.ndarray":
         elif m == 0xDD:  # DRI
             restart = (seg[0] << 8) | seg[1]
         elif m == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             order = {cid: k for k, (cid, *_id) in enumerate(comps)}
-            scan_map = [(0, 0)] * len(comps)
-            for c in range(ns):
-                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_map[order[cid]] = (tt >> 4, tt & 15)
-            # entropy-coded data: up to the next real marker
-            j = i + 2 + ln
-            start = j
-            while j + 1 < len(b):
-                if b[j] == 0xFF and b[j + 1] != 0x00 and not (
-                    0xD0 <= b[j + 1] <= 0xD7
-                ):
-                    break
-                j += 1
-            entropy = b[start : j + 1 if j + 1 >= len(b) else j]
-            break
-        i += 2 + ln
-    if not comps or entropy is None or not w or not h:
-        raise ValueError("jpeg: missing SOF/SOS")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # split at restart markers, un-stuff each segment
-    segments: list[bytes] = []
-    cur = bytearray()
-    j = 0
-    while j < len(entropy):
-        if entropy[j] == 0xFF and j + 1 < len(entropy):
-            nxt = entropy[j + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
+            scan_cis = [order[seg[1 + 2 * c]] for c in range(ns)]
+            scan_td = {
+                order[seg[1 + 2 * c]]: seg[2 + 2 * c] >> 4
+                for c in range(ns)
+            }
+            scan_ta = {
+                order[seg[1 + 2 * c]]: seg[2 + 2 * c] & 15
+                for c in range(ns)
+            }
+            ss = seg[1 + 2 * ns]
+            ah = seg[3 + 2 * ns] >> 4
+            al = seg[3 + 2 * ns] & 15
+            if progressive and ss > 0:
+                # AC scan: only DC reaches the features — skip the
+                # entropy data without decoding it
+                _segs, i = _jpeg_split_entropy(b, i + 2 + ln)
                 continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-        cur.append(entropy[j])
-        j += 1
-    segments.append(bytes(cur))
-    ly_h, ly_v = comps[0][1], comps[0][2]
-    q0 = qt.get(comps[0][3], 8)
-    grid = np.zeros((mcus_y * ly_v, mcus_x * ly_h), dtype=np.uint8)
-    preds = [0] * len(comps)
-    seg_idx, mcu_in_seg = 0, 0
-    reader = _JpegBits(segments[0])
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_in_seg == restart:
-                seg_idx += 1
-                mcu_in_seg = 0
-                preds = [0] * len(comps)
-                reader = _JpegBits(segments[seg_idx])
-            for ci, (_cid, chf, cvf, _tq) in enumerate(comps):
-                td, ta = scan_map[ci]
-                for bv in range(cvf):
-                    for bh in range(chf):
-                        t = reader.huff(huff_dc[td])
-                        diff = _jpeg_extend(reader.bits(t), t)
-                        preds[ci] += diff
-                        if ci == 0:
-                            mean = preds[ci] * q0 / 8.0 + 128.0
-                            grid[my * ly_v + bv, mx * ly_h + bh] = int(
-                                min(255.0, max(0.0, mean))
-                            )
-                        k = 1
-                        while k < 64:  # AC: consume, discard
-                            sym = reader.huff(huff_ac[ta])
-                            if sym == 0x00:
-                                break
-                            if sym == 0xF0:
-                                k += 16
+            segments, nxt = _jpeg_split_entropy(b, i + 2 + ln)
+            seg_idx, unit_in_seg = 0, 0
+            reader = _JpegBits(segments[0])
+            preds = {ci: 0 for ci in scan_cis}
+
+            def advance():
+                nonlocal seg_idx, unit_in_seg, reader, preds
+                if restart and unit_in_seg == restart:
+                    seg_idx += 1
+                    unit_in_seg = 0
+                    preds = {ci: 0 for ci in scan_cis}
+                    reader = _JpegBits(segments[seg_idx])
+
+            if ns > 1 or not progressive:
+                # interleaved MCU order (baseline always; progressive
+                # first/refinement DC scans may interleave too)
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        advance()
+                        for ci, (_cid, chf, cvf, _tq) in enumerate(comps):
+                            if ci not in preds:
                                 continue
-                            k += (sym >> 4) + 1
-                            reader.bits(sym & 15)
-            mcu_in_seg += 1
+                            for bv in range(cvf):
+                                for bh_ in range(chf):
+                                    y, x = my * cvf + bv, mx * chf + bh_
+                                    if progressive and ah:
+                                        dc[ci][y, x] |= (
+                                            reader.bit() << al
+                                        )
+                                        continue
+                                    t = reader.huff(
+                                        huff_dc[scan_td[ci]]
+                                    )
+                                    diff = _jpeg_extend(
+                                        reader.bits(t), t
+                                    )
+                                    preds[ci] += diff
+                                    dc[ci][y, x] = (
+                                        preds[ci] << al if progressive
+                                        else preds[ci]
+                                    )
+                                    if not progressive:
+                                        ta = scan_ta[ci]
+                                        k = 1
+                                        while k < 64:  # AC: discard
+                                            sym = reader.huff(
+                                                huff_ac[ta]
+                                            )
+                                            if sym == 0x00:
+                                                break
+                                            if sym == 0xF0:
+                                                k += 16
+                                                continue
+                                            k += (sym >> 4) + 1
+                                            reader.bits(sym & 15)
+                        unit_in_seg += 1
+            else:
+                # single-component progressive DC scan: blocks in the
+                # component's own raster order (no MCU padding)
+                ci = scan_cis[0]
+                _cid, chf, cvf, _tq = comps[ci]
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                cbw = -(-(-(-w * chf) // hmax) // 8)
+                cbh = -(-(-(-h * cvf) // vmax) // 8)
+                for y in range(cbh):
+                    for x in range(cbw):
+                        advance()
+                        if ah:
+                            dc[ci][y, x] |= reader.bit() << al
+                        else:
+                            t = reader.huff(huff_dc[scan_td[ci]])
+                            diff = _jpeg_extend(reader.bits(t), t)
+                            preds[ci] += diff
+                            dc[ci][y, x] = preds[ci] << al
+                        unit_in_seg += 1
+            got_dc_scan = True
+            i = nxt
+            continue
+        i += 2 + ln
+    if not comps or not got_dc_scan or not w or not h:
+        raise ValueError("jpeg: missing SOF/SOS")
+    q0 = qt.get(comps[0][3], 8)
+    means = dc[0].astype(np.float64) * q0 / 8.0 + 128.0
+    grid = np.clip(means, 0.0, 255.0).astype(np.uint8)
     return grid[: -(-h // 8), : -(-w // 8)]
 
 
@@ -858,5 +928,143 @@ def make_fixture_jpeg(
                 preds[c] = 0
             mcu_count += 1
     out += flush_segment()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def make_fixture_jpeg_progressive(
+    block_means: "np.ndarray",
+    components: int = 1,
+    subsample: bool = False,
+    restart: int = 0,
+) -> bytes:
+    """Deterministic PROGRESSIVE JPEG (SOF2) twin of
+    :func:`make_fixture_jpeg`: the DC signal is split across a first
+    interleaved DC scan (Huffman deltas of ``v >> 1``, Al=1) and one
+    single-component DC refinement scan per component (one raw bit
+    ``v & 1`` per block, Ah=1/Al=0) — exercising both progressive
+    scan shapes the decoder implements. No AC scans are emitted (the
+    decoder skips them; the constant-block fixture has zero AC
+    anyway). RSTn intervals apply to every scan once declared, per
+    DRI semantics."""
+    bm = np.asarray(block_means, dtype=np.int64)
+    bh, bw = bm.shape
+    ly_s = 0x22 if subsample else 0x11
+    if subsample and (bh % 2 or bw % 2):
+        raise ValueError("4:2:0 fixture needs even block dims")
+    h, w = bh * 8, bw * 8
+    out = bytearray(b"\xff\xd8")
+    qtable = bytes([8] + [16] * 63)
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + qtable
+    nc = 3 if components == 3 else 1
+    sof = bytearray()
+    sof += (8).to_bytes(1, "big") + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(nc)
+    for c in range(nc):
+        sof += bytes([c + 1, ly_s if c == 0 else 0x11, 0])
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+    out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    if restart:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart.to_bytes(2, "big")
+
+    bitbuf: list[int] = []
+
+    def put(value: int, nbits: int) -> None:
+        for k in range(nbits - 1, -1, -1):
+            bitbuf.append((value >> k) & 1)
+
+    def encode_dc(diff: int) -> None:
+        t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        put(t, 4)
+        if t:
+            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+    def flush_segment() -> bytes:
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        raw = bytearray()
+        for k in range(0, len(bitbuf), 8):
+            byte = int("".join(map(str, bitbuf[k : k + 8])), 2)
+            raw.append(byte)
+            if byte == 0xFF:
+                raw.append(0x00)
+        bitbuf.clear()
+        return bytes(raw)
+
+    def sos_header(comp_sels: list[int], ah: int, al: int) -> bytes:
+        sos = bytearray([len(comp_sels)])
+        for cid in comp_sels:
+            sos += bytes([cid, 0x00])
+        sos += bytes([0x00, 0x00, (ah << 4) | al])
+        return b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + bytes(sos)
+
+    def v_of(ci: int, by: int, bx: int) -> int:
+        return int(bm[by, bx]) - 128 if ci == 0 else 0
+
+    # scan 1: DC-first, Al=1 (deltas of v >> 1). A one-component scan
+    # is NON-interleaved per T.81 — blocks in the component's raster
+    # order with MCU == one block — so grayscale emits raster order
+    # even with 2x2 sampling factors; multi-component scans interleave
+    # in MCU order.
+    out += sos_header(list(range(1, nc + 1)), ah=0, al=1)
+    preds = [0] * nc
+    mcus_y, mcus_x = (bh // 2, bw // 2) if subsample else (bh, bw)
+    rst = 0
+    unit = 0
+    if nc == 1:
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and unit and unit % restart == 0:
+                    out += flush_segment()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    preds = [0]
+                sv = v_of(0, by, bx) >> 1
+                encode_dc(sv - preds[0])
+                preds[0] = sv
+                unit += 1
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and unit and unit % restart == 0:
+                    out += flush_segment()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    preds = [0] * nc
+                yblocks = (
+                    [(2 * my + v, 2 * mx + hh) for v in range(2)
+                     for hh in range(2)]
+                    if subsample else [(my, mx)]
+                )
+                for by, bx in yblocks:
+                    sv = v_of(0, by, bx) >> 1
+                    encode_dc(sv - preds[0])
+                    preds[0] = sv
+                for c in range(1, nc):
+                    encode_dc(0 - preds[c])
+                    preds[c] = 0
+                unit += 1
+    out += flush_segment()
+
+    # per-component DC refinement scans (raster order), Ah=1/Al=0
+    for ci in range(nc):
+        chf = 2 if (subsample and ci == 0) else 1
+        cbw = bw if (not subsample or ci == 0) else bw // 2
+        cbh = bh if (not subsample or ci == 0) else bh // 2
+        out += sos_header([ci + 1], ah=1, al=0)
+        rst = 0
+        n_blocks = 0
+        for by in range(cbh):
+            for bx in range(cbw):
+                if restart and n_blocks and n_blocks % restart == 0:
+                    out += flush_segment()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                put(v_of(ci, by, bx) & 1, 1)
+                n_blocks += 1
+        out += flush_segment()
     out += b"\xff\xd9"
     return bytes(out)

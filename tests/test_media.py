@@ -320,13 +320,50 @@ def test_jpeg_dc_luminance_roundtrip():
         jpg = make_fixture_jpeg(bm, **kwargs)
         got = decode_jpeg_dc_luminance(jpg)
         assert got.shape == bm.shape and (got == bm).all(), kwargs
-    # progressive SOF2 refuses cleanly
+    # a baseline stream mislabeled SOF2 is garbage as progressive —
+    # must raise (any ValueError), never loop or return wrong data
     jpg = bytearray(make_fixture_jpeg(bm))
     jpg[jpg.index(b"\xff\xc0")+1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError):
+        decode_jpeg_dc_luminance(bytes(jpg))
+    # arithmetic-coded SOF still refuses for the feature fallback
+    jpg = bytearray(make_fixture_jpeg(bm))
+    jpg[jpg.index(b"\xff\xc0")+1] = 0xC9
+    with pytest.raises(ValueError, match="unsupported SOF"):
         decode_jpeg_dc_luminance(bytes(jpg))
     with pytest.raises(ValueError):
         decode_jpeg_dc_luminance(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_progressive_dc_roundtrip():
+    """Progressive (SOF2) DC path: the interleaved Al=1 first scan
+    plus per-component raster refinement scans recover exact block
+    means in every layout, including restart intervals that reset
+    predictors across ALL scans (T.81 Annex G subset)."""
+    import numpy as np
+
+    from extractthinker_spark.operators.media import (
+        decode_jpeg_dc_luminance,
+        make_fixture_jpeg,
+        make_fixture_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(23)
+    bm = rng.randint(0, 256, size=(4, 6))
+    for kwargs in (
+        {},
+        {"components": 3},
+        {"components": 3, "subsample": True},
+        {"restart": 3},
+        {"components": 3, "subsample": True, "restart": 2},
+    ):
+        jpg = make_fixture_jpeg_progressive(bm, **kwargs)
+        got = decode_jpeg_dc_luminance(jpg)
+        assert got.shape == bm.shape and (got == bm).all(), kwargs
+        # progressive and baseline encodings of the same grid decode
+        # identically
+        base = decode_jpeg_dc_luminance(make_fixture_jpeg(bm, **kwargs))
+        assert (got == base).all(), kwargs
 
 
 def test_media_features_jpeg_branch(spark):

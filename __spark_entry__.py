@@ -2375,15 +2375,28 @@ _LANGID_FINE_PLANTS: list[tuple[int, str]] = [
     (900005, "این یک جمله فارسی است با پ و گ و ژ"),
     (900006, "یہ اردو کا جملہ ہے جس میں ٹ ڈ ے ہیں"),
     (900007, "Собака пёс юг еда письмо"),
+    # Latin-script confusion pairs (round 6): es/pt, da/no/sv, id/ms
+    (900008, "Pero una señora dijo que cuando ella ve algo ¿qué pasa?"),
+    (900009,
+     "Ela disse que não é uma coisa boa quando isso acontece mais"),
+    (900010, "Han har ikke set hvad der skete efter ud af huset"),
+    (900011,
+     "Han har ikke sett hva som skjedde etter at vi dro ut av huset"),
+    (900012, "Och det är inte så att han på något sätt var där och är"),
+    (900013,
+     "Dia tidak mahu pergi ke sana kerana awak tidak ada selepas itu"),
+    (900014,
+     "Dia tidak bisa pergi karena sudah ada yang datang setelah itu"),
 ]
 
 
 def _q_langid_fine(spark, sf):
-    """lang_id plus within-script refinement (Cyrillic ru/uk/bg,
-    Arabic-script ar/fa/ur via distinctive codepoints). Plants one
-    fixture per refined language on top of the documents slice so
-    every refinement branch is exercised; non-refined verdicts equal
-    lang_id exactly."""
+    """lang_id plus within-script refinement (Cyrillic ru/uk/bg and
+    Arabic-script ar/fa/ur via distinctive codepoints; Latin pairs
+    es/pt, da/no/sv, id/ms via distinctive codepoints + whole-word
+    markers). Plants one fixture per refined language on top of the
+    documents slice so every refinement branch is exercised;
+    non-refined verdicts equal lang_id exactly."""
     from extractthinker_spark.functions.textstats import lang_id_fine
 
     d = (
@@ -3408,10 +3421,20 @@ def _langid_fine_sql() -> str:
     )
     hit_cols, cases = [], []
     for base, rules in sorted(LANG_SCRIPT_REFINE.items()):
-        for code, chars in rules:
+        for code, chars, words in rules:
+            parts = []
+            if chars:
+                parts.append(
+                    "length(text) - length(regexp_replace(text, "
+                    f"'[{chars}]', '', 'g'))"
+                )
+            if words:
+                pat = r"\b(" + "|".join(words) + r")\b"
+                parts.append(
+                    f"len(regexp_extract_all(lower(text), '{pat}'))"
+                )
             hit_cols.append(
-                "length(text) - length(regexp_replace(text, "
-                f"'[{chars}]', '', 'g')) AS h_{base}_{code}"
+                f"{' + '.join(parts)} AS h_{base}_{code}"
             )
         branches = []
         for i in range(len(rules) - 1, -1, -1):

@@ -850,15 +850,51 @@ def normalize_unicode(text: Column, form: str = "NFC") -> Column:
 # each pair below has distinctive codepoints (the standard trick —
 # fastText's confusions are exactly these pairs). Counts of literal
 # character sets: deterministic, order-free.
-LANG_SCRIPT_REFINE: dict[str, list[tuple[str, str]]] = {
+# rule = (code, distinctive_chars, distinctive_words): evidence is
+# the char-count PLUS the whole-word count (words are ASCII-only so
+# the \b protocol is engine-identical); first-wins argmax, zero
+# evidence keeps the base verdict.
+_REFINE_ES_PT: list[tuple[str, str, list[str]]] = [
+    # Portuguese ã/õ/ç don't exist in Spanish; Spanish ñ/¿/¡ don't
+    # exist in Portuguese. Word markers cover deaccented web text.
+    ("pt", "ãõçÃÕÇ", ["uma", "mais", "quando", "isso", "ela"]),
+    ("es", "ñ¿¡Ñ", ["una", "pero", "cuando", "eso", "ella"]),
+]
+_REFINE_SCAN: list[tuple[str, str, list[str]]] = [
+    # Norwegian av/etter/hva/ut vs Danish af/efter/hvad/ud (the
+    # orthographic splits); Swedish has ä/ö where da/no use æ/ø,
+    # plus och/är.
+    ("no", "", ["av", "etter", "hva", "ut", "fra"]),
+    ("da", "", ["af", "efter", "hvad", "ud", "hvis"]),
+    ("sv", "äöÄÖ", ["och", "är", "att", "på"]),
+]
+_REFINE_ID_MS: list[tuple[str, str, list[str]]] = [
+    # Malay kerana/selepas/awak vs Indonesian karena/setelah/anda —
+    # the classic id/ms lexical splits (shared stopwords make the
+    # stage-2 vote land on 'id' for both).
+    ("ms", "", ["kerana", "selepas", "awak", "ialah", "mahu"]),
+    ("id", "", ["karena", "setelah", "bisa", "adalah", "sudah"]),
+]
+
+LANG_SCRIPT_REFINE: dict[str, list[tuple[str, str, list[str]]]] = {
     # Cyrillic: Ukrainian's і/ї/є/ґ don't exist in Russian; Russian's
     # ы/э/ё don't exist in Ukrainian; Bulgarian lacks both sets and
     # leans on ъ as a vowel (щ/ъ density) — checked after the other
     # two so uk/ru evidence wins when present.
-    "ru": [("uk", "іїєґІЇЄҐ"), ("ru", "ыэёЫЭЁ"), ("bg", "ъЪ")],
+    "ru": [("uk", "іїєґІЇЄҐ", []), ("ru", "ыэёЫЭЁ", []),
+           ("bg", "ъЪ", [])],
     # Arabic script: Persian adds پ/چ/ژ/گ; Urdu adds ٹ/ڈ/ڑ/ے;
     # Arabic's ة (ta marbuta) is absent from both.
-    "ar": [("fa", "پچژگ"), ("ur", "ٹڈڑے"), ("ar", "ة")],
+    "ar": [("fa", "پچژگ", []), ("ur", "ٹڈڑے", []), ("ar", "ة", [])],
+    # Latin-script pairs — the hardest practical confusions
+    # (fastText's top confusion pairs): whichever of the pair the
+    # stopword vote lands on, the same rule list re-adjudicates.
+    "es": _REFINE_ES_PT,
+    "pt": _REFINE_ES_PT,
+    "da": _REFINE_SCAN,
+    "no": _REFINE_SCAN,
+    "sv": _REFINE_SCAN,
+    "id": _REFINE_ID_MS,
 }
 
 
@@ -883,7 +919,15 @@ def lang_id_fine(text: Column) -> Column:
         for code in sorted(LANG_STOPWORDS)
     ]
     refine_sets = {
-        base: [(code, set(chars)) for code, chars in rules]
+        base: [
+            (
+                code,
+                set(chars),
+                _re.compile(r"\b(" + "|".join(words) + r")\b", _re.ASCII)
+                if words else None,
+            )
+            for code, chars, words in rules
+        ]
         for base, rules in LANG_SCRIPT_REFINE.items()
     }
 
@@ -920,9 +964,12 @@ def lang_id_fine(text: Column) -> Column:
         rules = refine_sets.get(base)
         if not rules:
             return base
+        low = t.lower()
         best, best_code = 0, base
-        for code, chars in rules:
+        for code, chars, word_pat in rules:
             hits = sum(1 for ch in t if ch in chars)
+            if word_pat is not None:
+                hits += len(word_pat.findall(low))
             if hits > best:
                 best, best_code = hits, code
         return best_code

@@ -689,3 +689,37 @@ def test_lang_id_fine_refinement(spark):
     for k in ("en", "und", "ar", "ru"):
         assert base[k] == fine[k]
     assert base["uk"] == "ru" and base["fa"] == "ar"  # what fine fixes
+
+
+def test_lang_id_fine_latin_pairs(spark):
+    """Latin-script refinement (round 6): es/pt, da/no/sv, id/ms are
+    re-adjudicated with distinctive codepoints + whole-word markers
+    whichever of the pair the stopword vote landed on."""
+    from extractthinker_spark.functions.textstats import lang_id_fine
+
+    rows = [
+        ("es", "Pero una señora dijo que cuando ella ve algo ¿qué pasa?"),
+        ("pt", "Ela disse que não é uma coisa boa quando isso acontece"
+               " mais"),
+        ("da", "Han har ikke set hvad der skete efter ud af huset"),
+        ("no", "Han har ikke sett hva som skjedde etter at vi dro ut"
+               " av huset"),
+        ("sv", "Och det är inte så att han på något sätt var där och"
+               " är"),
+        ("ms", "Dia tidak mahu pergi ke sana kerana awak tidak ada"
+               " selepas itu"),
+        ("id", "Dia tidak bisa pergi karena sudah ada yang datang"
+               " setelah itu"),
+        # deaccented Portuguese: word markers alone must still win
+        ("pt", "Ela disse que e uma coisa boa quando isso acontece"
+               " mais vezes"),
+    ]
+    df = spark.createDataFrame(
+        [(f"{k}{i}", k, t) for i, (k, t) in enumerate(rows)],
+        "id string, want string, text string",
+    )
+    got = df.select(
+        "id", "want", lang_id_fine(F.col("text")).alias("l")
+    ).collect()
+    for r in got:
+        assert r["l"] == r["want"], (r["id"], r["l"], r["want"])

@@ -151,8 +151,39 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "tar_chain_extract",
         "subtitle_cues",
         "tfidf_top_terms",
+        # round-6 additions (added ONCE, before any r6 run — the
+        # history merge drops runs whose query set is not a superset
+        # of the registry)
+        "charset_extract",
+        "pdf_cid_spans",
+        "pack_sequences",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
+
+    # Composed curation funnel (r5 verdict ask #8): synthetic docs
+    # through curate_job.main — extract → hygiene → PII → exact dedup
+    # → near-dup CC → line dedup → write. The prose gates are off
+    # (synthetic invoices fail them by design, which would starve the
+    # dedup stages); the substring layer is off per the ask.
+    funnel_docs = int(os.environ.get("BENCH_FUNNEL_DOCS", "6000"))
+
+    def curate_funnel() -> None:
+        import shutil
+        import tempfile
+
+        from jobs.curate_job import main as curate_main
+
+        out_dir = tempfile.mkdtemp(prefix="bench-funnel-")
+        try:
+            curate_main(
+                ["--synthetic", str(funnel_docs), "--output", out_dir,
+                 "--no-c4", "--no-gopher"],
+                stop=False,
+            )
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    timed("curate_funnel", curate_funnel)
 
     total = round(sum(timings.values()), 3)
     result = {

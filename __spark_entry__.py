@@ -2027,6 +2027,52 @@ def _pack_sequences_sql() -> str:
     """
 
 
+def _q_pack_chop(spark, sf):
+    """Concat-and-chop packing (the GPT-style pretraining shape):
+    per-group token streams chopped at exact 256-token boundaries,
+    documents splitting across sequences; one row per (doc, sequence)
+    overlap. Window prefix-sum + slice explode — the oracle replays
+    the same cumsum and generate_series lateral in DuckDB."""
+    from extractthinker_spark.operators.packing import pack_chop
+
+    d = _tp(spark, sf, "documents")
+    return pack_chop(d, budget=256, n_groups=8)
+
+
+def _pack_chop_sql() -> str:
+    return rf"""
+        WITH base AS (
+          SELECT doc_id::VARCHAR AS k,
+                 CAST(coalesce((
+                   SELECT sum(CASE WHEN length(tok) <= 4 THEN 1
+                              ELSE greatest(1, CAST(floor(length(tok)/4)
+                                   AS BIGINT)) END)
+                   FROM unnest(regexp_extract_all(lower(d.text),
+                        '{TOKEN_CHUNK_PATTERN}')) AS u(tok)), 0)
+                   AS BIGINT) AS tok,
+                 ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   AS h
+          FROM documents d),
+        f AS (SELECT k, tok, h, CAST(h % 8 AS INT) AS g
+              FROM base WHERE tok > 0),
+        o AS (SELECT k, tok, g,
+                     CAST(coalesce(sum(tok) OVER (
+                       PARTITION BY g ORDER BY h, k
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS ofs
+              FROM f)
+        SELECT g AS pack_group,
+               g::VARCHAR || '-' || s::VARCHAR AS seq_id,
+               k AS doc_id,
+               CAST(greatest(s * 256 - ofs, 0) AS BIGINT) AS tok_start,
+               CAST(least((s + 1) * 256 - ofs, tok) AS BIGINT)
+                 AS tok_end,
+               CAST(greatest(ofs - s * 256, 0) AS BIGINT) AS seq_offset
+        FROM o, unnest(generate_series(ofs // 256,
+                       (ofs + tok - 1) // 256)) AS u(s)
+    """
+
+
 def _q_pdf_cid_spans(spark, sf):
     """Composite-font (Type0 / predefined Identity-H CMap, no
     /ToUnicode) decode, value-level: page text shown as 2-byte CID
@@ -2821,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_extract": _q_charset_extract,
         "pdf_cid_spans": _q_pdf_cid_spans,
         "pack_sequences": _q_pack_sequences,
+        "pack_chop": _q_pack_chop,
         # Block C: r5 driver-green keys (CORRECTNESS_r05) — refresh as
         # window space allows; all have rows within the 2-round window.
         "tokenize_count": _q_tokenize,
@@ -4137,6 +4184,7 @@ def oracle_sql() -> dict[str, str]:
     sql["pdf_encoding_spans"] = _PDF_TREE_SQL
     sql["pdf_cid_spans"] = _PDF_TREE_SQL
     sql["pack_sequences"] = _pack_sequences_sql()
+    sql["pack_chop"] = _pack_chop_sql()
     sql["jpeg_dc_features"] = """
         WITH g AS (
           SELECT doc_id,

@@ -157,6 +157,7 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
         "charset_extract",
         "pdf_cid_spans",
         "pack_sequences",
+        "pack_chop",
     ]:
         timed(name, lambda n=name: _force(qs[n](spark, sf_dir)))
 

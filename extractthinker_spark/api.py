@@ -387,21 +387,25 @@ class Process:
         return self
 
     def pack_sequences(
-        self, budget: int, n_groups: int = 64
+        self, budget: int, n_groups: int = 64, mode: str = "greedy"
     ) -> DataFrame:
         """Pack the EXTRACTED text into fixed-token-budget training
-        sequences (operators/packing.py greedy first-fit in doc-hash
-        order): returns the (pack_group, seq_id, doc_ids, n_docs,
-        n_tokens, fill_frac) manifest — the funnel's last mile before
-        the trainer."""
+        sequences (operators/packing.py): ``mode='greedy'`` keeps
+        documents atomic (first-fit in doc-hash order → per-sequence
+        manifest with fill_frac), ``mode='chop'`` concatenates and
+        chops at exact budget boundaries (GPT-style → per-(doc,
+        sequence) slice rows). The funnel's last mile before the
+        trainer."""
         from extractthinker_spark.operators.packing import (
+            pack_chop,
             pack_sequences as _pack,
         )
 
         merged = doc_text(self.extract_content(nest=True)).select(
             "doc_id", F.col("content").alias("text")
         )
-        return _pack(merged, budget=budget, n_groups=n_groups)
+        packer = pack_chop if mode == "chop" else _pack
+        return packer(merged, budget=budget, n_groups=n_groups)
 
     def scrub_pii(self, kinds: list[str] | None = None) -> Process:
         """Redact PII (functions/pii.py patterns) in-place across every

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from extractthinker_spark.functions.textstats import _round4, count_tokens
 
@@ -107,3 +107,75 @@ def pack_sequences(
         )
 
     return base.groupBy("_g").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+CHOP_SCHEMA = (
+    "pack_group int, seq_id string, doc_id string, tok_start bigint, "
+    "tok_end bigint, seq_offset bigint"
+)
+
+
+def pack_chop(
+    df: DataFrame,
+    budget: int,
+    key: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Concat-and-chop packing — the GPT-style pretraining shape: the
+    group's documents form one token stream in (portable hash, key)
+    order and the stream is chopped at exact ``budget`` boundaries, so
+    documents SPLIT across sequences instead of staying atomic (every
+    sequence except a group's last is exactly full; compare
+    :func:`pack_sequences` for the atomic-document greedy variant).
+
+    Output: one row per (document, sequence) overlap — (pack_group,
+    seq_id, doc_id, tok_start, tok_end, seq_offset), where
+    [tok_start, tok_end) is the doc-relative token slice and
+    seq_offset is where it lands inside the sequence. Pure prefix-sum
+    math: a window cumsum within each group + one slice-count explode
+    — no recursion, no per-group state, one shuffle on the group key
+    (the window reuses the groupBy partitioning)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = (
+        F.col(tokens_col) if tokens_col is not None
+        else count_tokens(F.col(text_col))
+    )
+    h = _portable_key_hash(F.col(key))
+    base = df.select(
+        F.col(key).cast("string").alias("_k"),
+        toks.cast("long").alias("_tok"),
+        h.alias("_h"),
+        F.pmod(h, F.lit(n_groups)).cast("int").alias("_g"),
+    ).filter(F.col("_tok") > 0)
+    w = Window.partitionBy("_g").orderBy("_h", "_k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = base.withColumn("_off", F.coalesce(F.sum("_tok").over(w),
+                                              F.lit(0)))
+    # doc [off, off+tok) overlaps sequences floor(off/B) ..
+    # floor((off+tok-1)/B); one output row per overlapped sequence.
+    # Integer DIV, not float division — a 10^12-doc corpus passes
+    # 2^53 total tokens, where double division starts rounding.
+    first = F.expr(f"_off DIV {budget}")
+    last = F.expr(f"(_off + _tok - 1) DIV {budget}")
+    s = F.col("_s")
+    return (
+        offs.select(
+            "_g", "_k", "_tok", "_off",
+            F.explode(F.sequence(first, last)).alias("_s"),
+        )
+        .select(
+            F.col("_g").alias("pack_group"),
+            F.concat_ws("-", "_g", "_s").alias("seq_id"),
+            F.col("_k").alias("doc_id"),
+            F.greatest(s * budget - F.col("_off"), F.lit(0))
+            .alias("tok_start"),
+            F.least((s + 1) * budget - F.col("_off"), F.col("_tok"))
+            .alias("tok_end"),
+            F.greatest(F.col("_off") - s * budget, F.lit(0))
+            .alias("seq_offset"),
+        )
+    )

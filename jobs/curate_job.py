@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
                          "sequences of this token budget (writes "
                          "<output>/sequences)")
     ap.add_argument("--pack-groups", type=int, default=64)
+    ap.add_argument("--pack-mode", choices=("greedy", "chop"),
+                    default="greedy",
+                    help="greedy = atomic docs, first-fit; chop = "
+                         "GPT-style concat-and-chop (docs split "
+                         "across exactly-full sequences)")
     ap.add_argument("--no-c4", action="store_true")
     ap.add_argument("--no-gopher", action="store_true")
     ap.add_argument("--nfkc", action="store_true",
@@ -228,9 +233,13 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
     # corpus into fixed-token-budget sequences; the manifest rides
     # next to the data so the trainer never re-derives it
     if args.pack_budget:
-        from extractthinker_spark.operators.packing import pack_sequences
+        from extractthinker_spark.operators.packing import (
+            pack_chop,
+            pack_sequences,
+        )
 
-        seqs = pack_sequences(
+        packer = pack_chop if args.pack_mode == "chop" else pack_sequences
+        seqs = packer(
             text, budget=args.pack_budget, n_groups=args.pack_groups
         )
         seqs.write.mode("overwrite").parquet(

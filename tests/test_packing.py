@@ -108,3 +108,59 @@ def test_curate_job_pack_stage(spark, tmp_path):
     seqs = spark.read.parquet(str(tmp_path / "run" / "sequences"))
     total = seqs.agg(F.sum("n_docs")).first()[0]
     assert total == report["funnel"]["written"]
+
+
+def test_pack_chop_invariants(spark):
+    """Concat-and-chop: per-doc slices partition [0, tok); every
+    sequence except each group's last is exactly full; slice offsets
+    tile each sequence without gaps."""
+    from collections import defaultdict
+
+    from extractthinker_spark.functions.tokens import simple_token_count
+    from extractthinker_spark.operators.packing import pack_chop
+
+    rows = [(f"d{i:03d}", "tok " * (7 * (i % 13 + 1))) for i in range(70)]
+    tok_of = {d: simple_token_count(t) for d, t in rows}
+    out = pack_chop(_docs(spark, rows, 4), budget=50, n_groups=4).collect()
+
+    per_doc = defaultdict(list)
+    per_seq = defaultdict(list)
+    for r in out:
+        assert 0 <= r["tok_start"] < r["tok_end"] <= tok_of[r["doc_id"]]
+        per_doc[r["doc_id"]].append((r["tok_start"], r["tok_end"]))
+        per_seq[(r["pack_group"], r["seq_id"])].append(
+            (r["seq_offset"], r["tok_end"] - r["tok_start"])
+        )
+    # doc slices are contiguous and cover the whole doc
+    for d, slices in per_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0 and slices[-1][1] == tok_of[d]
+        for (s0, e0), (s1, _e1) in zip(slices, slices[1:]):
+            assert s1 == e0
+    assert set(per_doc) == {d for d, _ in rows}
+    # sequences tile exactly; all but the last per group are full
+    last_seq = {}
+    for (g, sid), parts in per_seq.items():
+        idx = int(sid.split("-")[1])
+        last_seq[g] = max(last_seq.get(g, -1), idx)
+    for (g, sid), parts in per_seq.items():
+        parts.sort()
+        pos = 0
+        for off, ln in parts:
+            assert off == pos
+            pos += ln
+        if int(sid.split("-")[1]) < last_seq[g]:
+            assert pos == 50, (g, sid, pos)
+        else:
+            assert 0 < pos <= 50
+
+
+def test_pack_chop_partition_invariance(spark):
+    from extractthinker_spark.operators.packing import pack_chop
+
+    rows = [(f"d{i:03d}", "word " * (i % 9 + 1)) for i in range(40)]
+    a = sorted(map(tuple, pack_chop(_docs(spark, rows, 2),
+                                    budget=30, n_groups=4).collect()))
+    b = sorted(map(tuple, pack_chop(_docs(spark, rows, 16),
+                                    budget=30, n_groups=4).collect()))
+    assert a == b and len(a) > 1

@@ -166,7 +166,10 @@ def run_bench(master: str | None = None, corpus_docs: int | None = None) -> dict
     # → near-dup CC → line dedup → write. The prose gates are off
     # (synthetic invoices fail them by design, which would starve the
     # dedup stages); the substring layer is off per the ask.
-    funnel_docs = int(os.environ.get("BENCH_FUNNEL_DOCS", "6000"))
+    # 2000 docs keeps the funnel's 3 timed repetitions ~1 min total;
+    # set before the round's second sf0.1 run (run 1 used 6000 — its
+    # larger number can never win the min-merge, so no contamination)
+    funnel_docs = int(os.environ.get("BENCH_FUNNEL_DOCS", "2000"))
 
     def curate_funnel() -> None:
         import shutil

@@ -2499,6 +2499,135 @@ def _q_eml_extract(spark, sf):
     )
 
 
+def _q_mbox_extract(spark, sf):
+    """RFC 4155 mbox ingest, value-level: two by-construction plain
+    messages per mailbox (newlines squashed so neither the QP body nor
+    a 'From ' line can fake a separator), walked by the REAL mbox
+    split + stdlib-email decode inside parse_raw_bytes. The oracle
+    replays the by-construction header blocks + bodies in message
+    order."""
+    from extractthinker_spark.operators.email_mime import (
+        make_fixture_eml,
+        make_fixture_mbox,
+    )
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    d = _tp(spark, sf, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            raws = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                body1 = " ".join(t[:120].split())
+                body2 = "tail: " + " ".join(t[120:200].split())
+                raws.append(make_fixture_mbox([
+                    make_fixture_eml(body1, subject=f"M{i}a"),
+                    make_fixture_eml(body2, subject=f"M{i}b"),
+                ]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    raw = d.mapInPandas(build, schema="doc_id long, raw binary")
+    return parse_raw_bytes(raw).select(
+        "doc_id", "format", F.explode("spans").alias("s")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "format",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").cast("long").alias("span_off"),
+    )
+
+
+_MBOX_SQL = r"""
+    WITH d AS (SELECT doc_id,
+                      trim(regexp_replace(substring(text, 1, 120),
+                           '\s+', ' ', 'g')) AS b1,
+                      'tail: ' || trim(regexp_replace(
+                           substring(text, 121, 80), '\s+', ' ', 'g'))
+                        AS b2
+               FROM documents)
+    SELECT doc_id, 'mbox' AS format, 'text' AS kind,
+           'Subject: M' || doc_id || 'a' || chr(10) ||
+           'From: Alice <alice@example.org>' || chr(10) ||
+           'To: bob@example.org' || chr(10) ||
+           'Date: Mon, 01 Jan 2024 00:00:00 +0000' AS text,
+           CAST(0 AS BIGINT) AS span_off FROM d
+    UNION ALL
+    SELECT doc_id, 'mbox', 'text', b1, CAST(1 AS BIGINT) FROM d
+    UNION ALL
+    SELECT doc_id, 'mbox', 'text',
+           'Subject: M' || doc_id || 'b' || chr(10) ||
+           'From: Alice <alice@example.org>' || chr(10) ||
+           'To: bob@example.org' || chr(10) ||
+           'Date: Mon, 01 Jan 2024 00:00:00 +0000',
+           CAST(2 AS BIGINT) FROM d
+    UNION ALL
+    SELECT doc_id, 'mbox', 'text', b2, CAST(3 AS BIGINT) FROM d
+"""
+
+
+def _q_compression_chains(spark, sf):
+    """gz / xz / bz2 transparent decompression, value-level: doc_id%3
+    picks the codec around a paragraph-split text payload; the REAL
+    stdlib chain branch in parse_raw_bytes reports '<alg>+txt' and the
+    inner spans. (gz already had flagship coverage; xz/bz2 were
+    pytest-only — this pins all three against the oracle.)"""
+    import bz2 as _bz2
+    import lzma as _lzma
+    import zlib as _zlib
+
+    from extractthinker_spark.operators.rawbytes import parse_raw_bytes
+
+    d = _tp(spark, sf, "documents").select("doc_id", "text")
+
+    def build(batches):
+        for pdf in batches:
+            raws = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                payload = (
+                    " ".join(t[:80].split())
+                    + "\n\n"
+                    + "part two: " + " ".join(t[80:140].split())
+                ).encode("utf-8")
+                k = int(i) % 3
+                if k == 0:
+                    co = _zlib.compressobj(9, _zlib.DEFLATED, 31)
+                    raws.append(co.compress(payload) + co.flush())
+                elif k == 1:
+                    raws.append(_lzma.compress(payload))
+                else:
+                    raws.append(_bz2.compress(payload))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    raw = d.mapInPandas(build, schema="doc_id long, raw binary")
+    return parse_raw_bytes(raw).select(
+        "doc_id", "format", F.explode("spans").alias("s")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "format",
+        F.col("s.text").alias("text"),
+        F.col("s.offset").cast("long").alias("span_off"),
+    )
+
+
+_COMPRESSION_SQL = r"""
+    WITH d AS (SELECT doc_id,
+                      CASE doc_id % 3 WHEN 0 THEN 'gz+txt'
+                           WHEN 1 THEN 'xz+txt' ELSE 'bz2+txt' END
+                        AS format,
+                      trim(regexp_replace(substring(text, 1, 80),
+                           '\s+', ' ', 'g')) AS p1,
+                      'part two: ' || trim(regexp_replace(
+                           substring(text, 81, 60), '\s+', ' ', 'g'))
+                        AS p2
+               FROM documents)
+    SELECT doc_id, format, p1 AS text, CAST(0 AS BIGINT) AS span_off
+    FROM d
+    UNION ALL
+    SELECT doc_id, format, p2, CAST(1 AS BIGINT) FROM d
+"""
+
+
 _MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 1.0, "src3": 1.25}
 
 
@@ -2868,6 +2997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_cid_spans": _q_pdf_cid_spans,
         "pack_sequences": _q_pack_sequences,
         "pack_chop": _q_pack_chop,
+        "mbox_extract": _q_mbox_extract,
+        "compression_chains": _q_compression_chains,
         # Block C: r5 driver-green keys (CORRECTNESS_r05) — refresh as
         # window space allows; all have rows within the 2-round window.
         "tokenize_count": _q_tokenize,
@@ -4185,6 +4316,8 @@ def oracle_sql() -> dict[str, str]:
     sql["pdf_cid_spans"] = _PDF_TREE_SQL
     sql["pack_sequences"] = _pack_sequences_sql()
     sql["pack_chop"] = _pack_chop_sql()
+    sql["mbox_extract"] = _MBOX_SQL
+    sql["compression_chains"] = _COMPRESSION_SQL
     sql["jpeg_dc_features"] = """
         WITH g AS (
           SELECT doc_id,

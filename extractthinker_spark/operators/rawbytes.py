@@ -2789,6 +2789,36 @@ def decode_text_bytes(b: bytes) -> str:
 _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([-\w.:]+)""", re.I
 )
+_XML_ENCODING_RE = re.compile(
+    rb"""^<\?xml[^>]*\bencoding\s*=\s*["']([-\w.:]+)["']""", re.I
+)
+
+
+def decode_xml_bytes(b: bytes) -> str:
+    """XML decode honoring the prolog's ``encoding=`` declaration
+    (XML 1.0 §4.3.3) with the same label handling as the HTML meta
+    prescan; BOMs win, and without a declaration the strict-UTF-8 →
+    cp1252 ladder applies (the XML default of UTF-8 is the ladder's
+    first rung anyway)."""
+    if b[:3] == b"\xef\xbb\xbf" or b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return decode_text_bytes(b)
+    m = _XML_ENCODING_RE.match(b[:256])
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        if label in ("iso-8859-1", "latin-1", "latin1", "us-ascii",
+                     "ascii", "windows-1252", "cp1252"):
+            return decode_cp1252(b)
+        if label not in ("utf-8", "utf8"):
+            try:
+                codec = codecs.lookup(label).name
+            except LookupError:
+                codec = None
+            if codec and not codec.startswith("utf-16"):
+                try:
+                    return b.decode(codec, "replace")
+                except (LookupError, ValueError):
+                    pass
+    return decode_text_bytes(b)
 
 
 def decode_html_bytes(b: bytes) -> str:
@@ -3016,7 +3046,11 @@ def parse_raw_bytes(
             for i, line in enumerate(ln for ln in lines if ln.strip()):
                 out.append(span("text", line, None, i))
         elif fmt in ("txt", "json", "xml", "svg"):
-            for i, para in enumerate(decode_text_bytes(b).split("\n\n")):
+            decoded = (
+                decode_xml_bytes(b) if fmt in ("xml", "svg")
+                else decode_text_bytes(b)
+            )
+            for i, para in enumerate(decoded.split("\n\n")):
                 out.append(span("text", para, None, i))
         elif fmt in media_formats:
             out.append(span("media", None, f"bytes:{fmt}", 0))

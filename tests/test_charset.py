@@ -148,3 +148,30 @@ def test_rtf_hex_escape_cp1252():
     rtf = rb"{\rtf1\ansi\ansicpg1252 quote \'93hi\'94 dash \'97}"
     pages = decode_rtf_pages(rtf)
     assert pages == ["quote “hi” dash —"]
+
+
+def test_xml_encoding_declaration(spark):
+    """The XML prolog's encoding= declaration governs the decode
+    (XML 1.0 §4.3.3), same label ladder as the HTML meta prescan."""
+    from extractthinker_spark.operators.rawbytes import decode_xml_bytes
+
+    doc = (b'<?xml version="1.0" encoding="iso-8859-1"?>'
+           b"<r>caf\xe9 \x97 dash</r>")
+    assert decode_xml_bytes(doc) == (
+        '<?xml version="1.0" encoding="iso-8859-1"?><r>café — dash</r>'
+    )
+    sj = "日本".encode("shift_jis")
+    doc2 = b'<?xml version="1.0" encoding="shift_jis"?><r>' + sj + b"</r>"
+    assert "日本" in decode_xml_bytes(doc2)
+    # no declaration: strict-utf8 first, cp1252 fallback
+    assert decode_xml_bytes(b"<r>ok \x93q\x94</r>") == "<r>ok “q”</r>"
+    # the spans road: a sniffable UTF-8-headed xml with declared
+    # latin-1 bytes beyond the head decodes through the declaration
+    pad = b"<pad>" + b"x" * 260 + b"</pad>"
+    rows = [("x1",
+             b'<?xml version="1.0" encoding="iso-8859-1"?><r>'
+             + pad + b"caf\xe9 \x97</r>", None)]
+    df = spark.createDataFrame(rows, "doc_id string, raw binary, uri string")
+    out = parse_raw_bytes(df, uri_col="uri").collect()[0]
+    assert out["format"] == "xml"
+    assert "café —" in out["spans"][0]["text"]

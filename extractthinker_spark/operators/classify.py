@@ -43,35 +43,45 @@ def _confidence(hits: Column) -> Column:
 
 
 def _argmax_classes(scored: list[tuple[str, Column]]) -> Column:
-    """Fold (confidence, name) pairs → best struct<name, confidence>.
+    """Argmax of (confidence, name) pairs → best struct<name, confidence>.
 
     Highest confidence wins; ties break to the lexically smallest name;
     all-zero-hits (confidence 1 everywhere) → Unknown/1.
+
+    Codegen shape: one ``array_max`` over literal-ordered
+    ``struct<confidence, rank, name>`` entries — every per-class
+    confidence expression appears exactly ONCE in the tree, and
+    ArrayMax is a codegen'd loop (no higher-order lambda). Ranks are
+    assigned by DESCENDING class name so that confidence ties resolve
+    to the lexically smallest name, and a sentinel
+    ``(1, max_rank, Unknown)`` entry wins exactly when every class
+    scored confidence 1 — the fold's Unknown/1 fallback, with no
+    post-fix-up (which would have to re-reference the argmax result
+    and re-inline the scorer tree). (The previous ``F.aggregate`` fold
+    over an array of structs was a higher-order function: interpreted
+    row-at-a-time eval of every scorer expression per fold step. A
+    greatest()+when-chain variant re-inlined the greatest() subtree
+    per branch and blew past janino's method limits at 3 scorers —
+    codegen fell back to interpreted and was slower still.)
     """
-    arr = F.array(
-        *[
-            F.struct(F.lit(name).alias("name"), conf.alias("confidence"))
-            for name, conf in scored
-        ]
+    by_name_desc = sorted(scored, key=lambda t: t[0], reverse=True)
+    entries = [
+        F.struct(
+            conf.alias("confidence"),
+            F.lit(rank).alias("rank"),
+            F.lit(name).alias("name"),
+        )
+        for rank, (name, conf) in enumerate(by_name_desc)
+    ]
+    sentinel = F.struct(
+        F.lit(1).alias("confidence"),
+        F.lit(len(by_name_desc)).alias("rank"),
+        F.lit(UNKNOWN).alias("name"),
     )
-    init = F.struct(
-        F.lit(UNKNOWN).alias("name"), F.lit(1).alias("confidence")
-    )
-    best = F.aggregate(
-        arr,
-        init,
-        lambda acc, s: F.when(
-            (s["confidence"] > acc["confidence"])
-            | (
-                (s["confidence"] == acc["confidence"])
-                & (acc["name"] != UNKNOWN)
-                & (s["name"] < acc["name"])
-                & (s["confidence"] > 1)
-            ),
-            s,
-        ).otherwise(acc),
-    )
-    return best.cast(CLASS_RESULT_TYPE)
+    m = F.array_max(F.array(*entries, sentinel))
+    return F.struct(
+        m["name"].alias("name"), m["confidence"].alias("confidence")
+    ).cast(CLASS_RESULT_TYPE)
 
 
 def classify_keyword(text: Column, rules=None) -> Column:

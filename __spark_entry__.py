@@ -810,10 +810,16 @@ def _q_json_extract(spark, sf):
         .otherwise(F.concat(F.lit("inline "), obj, F.lit(" trailing")))
     )
     parsed = parse_json_fields(txt, "id bigint, status string")
-    return o.select(
+    # Two-stage select: alias the parsed struct ONCE and access fields
+    # through the alias. A flat select embeds a separate from_json per
+    # field, which OptimizeJsonExprs prunes into two DIFFERENT schemas
+    # — defeating CSE, so the fence/bare regexp extraction and the JSON
+    # parse ran twice per row. The multi-referenced non-cheap alias is
+    # a CollapseProject barrier; the plan keeps one from_json.
+    return o.select("o_orderkey", parsed.alias("p")).select(
         "o_orderkey",
-        parsed["id"].alias("json_id"),
-        parsed["status"].alias("json_status"),
+        F.col("p")["id"].alias("json_id"),
+        F.col("p")["status"].alias("json_status"),
     )
 
 

@@ -37,6 +37,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Bit-exact Arrow twin of :func:`cosine` for bulk pair scoring.
+
+    Accumulates the dot product and both squared norms dimension-by-
+    dimension (``acc = acc + x_d*y_d`` in index order, vectorized over
+    the pair axis) — the EXACT IEEE add sequence of the interpreted
+    zip_with/aggregate fold and of the DuckDB list_reduce twin, so the
+    scores are bit-identical, not merely close (NOTES.md float
+    protocol). Use for large candidate sets; ``cosine`` remains the
+    cross-engine parity spec."""
+
+    @F.pandas_udf("double")
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if len(av) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in av])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in bv])
+        n = A.shape[0]
+        d_acc = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for d in range(A.shape[1]):
+            ad = A[:, d]
+            bd = B[:, d]
+            d_acc = d_acc + ad * bd
+            na = na + ad * ad
+            nb = nb + bd * bd
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(d_acc / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -44,20 +77,78 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast(queries) ⨯ corpus → window.
+    """Exact top-k by cosine: queries ship to every corpus partition,
+    scores come back as small (query_id, neighbor_id, cos) rows.
 
     Output: (query_id, neighbor_id, cos_sim, rank), excluding self.
+
+    Scale/impl notes: the query side is collected to the driver — the
+    same smallness bound as the broadcast crossJoin it replaces (a
+    broadcast builds its relation on the driver too). Scoring is one
+    mapInPandas over the corpus (narrow, no pair materialization in
+    the JVM): per Arrow batch, numpy accumulates the dot product and
+    norms dimension-by-dimension — ``acc = acc + x_d*y_d`` in index
+    order, the EXACT left-fold IEEE sequence of the previous
+    zip_with/aggregate expressions (which Catalyst runs interpreted,
+    ~20x slower at 64 dims) and of the DuckDB list_reduce oracle, so
+    cos_sim is bit-identical. Only scalar scores leave Python; the
+    corpus vectors cross into Arrow once and no payload is shuffled —
+    the per-query top-k shuffles 3-scalar rows only.
     """
-    q = queries.select(
-        F.col(key).alias("query_id"), F.col(vec_col).alias("qv")
+    q_rows = queries.select(key, vec_col).collect()
+    if not q_rows:
+        qid_type = dict(queries.dtypes)[key]
+        nid_type = dict(corpus.dtypes)[key]
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {qid_type}, neighbor_id {nid_type}, "
+            "cos_sim double, rank int",
+        )
+    qids = [r[0] for r in q_rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    dim = Q.shape[1]
+    # query norms with the same left fold (scalar accumulation order
+    # over dims is what matters; one value per query)
+    qn = np.zeros(len(qids), dtype=np.float64)
+    for d in range(dim):
+        qn = qn + Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn)
+    qid_type = dict(queries.dtypes)[key]
+    nid_type = dict(corpus.dtypes)[key]
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {nid_type}, cos_sim double"
     )
-    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = F.broadcast(q).crossJoin(c).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+
+    def score(batches):
+        qids_arr = np.asarray(qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = len(pdf)
+            dots = np.zeros((n, len(qids)), dtype=np.float64)
+            cn = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                cd = C[:, d]
+                dots = dots + cd[:, None] * Q[None, :, d]
+                cn = cn + cd * cd
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (qn[None, :] * np.sqrt(cn)[:, None])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids_arr, n),
+                    "neighbor_id": np.repeat(pdf[key].values, len(qids)),
+                    "cos_sim": cos.ravel(),
+                }
+            )
+
+    scored = (
+        corpus.select(key, vec_col)
+        .mapInPandas(score, schema=out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -325,13 +416,14 @@ def _ivf_search(
             F.explode(probes).alias("p"),
         ).select("query_id", "qv", F.col("p.list_id").alias("list_id"))
 
+    cos_fn = cosine_arrow if impl == "arrow" else cosine
     scored = (
         q.join(assigned, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(cos_fn(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -455,6 +547,13 @@ def lloyd_centroids_portable(
         sample_pct = min(100, max(1, -(-100 * target // max(1, n0))))
     if sample_pct < 100:
         train = train.filter(portable_sample_pred(F.col("_k"), sample_pct))
+    # Materialize the bounded training sample ONCE: the init job and
+    # every Lloyd round re-read ``train``, and the sampling predicate
+    # is not pushable, so without this each of the (iters+1) jobs
+    # re-scans the full corpus. The sample is ~256×n_lists vectors by
+    # construction — localCheckpoint cost is trivial and row values
+    # are unchanged (the oracle replays the same sample).
+    train = train.localCheckpoint()
     # Init ranks {floor(i*n/k)+1} WITHOUT a separate count() action:
     # rank r is an init rank iff ceil((r-1)*k/n) < ceil(r*k/n) (the
     # interval [ (r-1)*k, r*k ) contains a multiple of n — identity
@@ -680,53 +779,84 @@ def ann_topk_quantized(
         ),
         "qv",
     )
-    coarse = (
-        qq.crossJoin(
-            F.broadcast(
-                qdf.select(
-                    F.col(key).alias("neighbor_id"),
-                    F.col("qvec").alias("nq"),
-                    F.col("qvec_scale").alias("nscale"),
-                    F.col(vec_col).alias("nv"),
-                )
+    # Coarse scan, §8 shape: the quantized query codes are collected
+    # (same smallness bound as the broadcast crossJoin they replace)
+    # and the corpus streams through ONE mapInPandas emitting only
+    # 3-scalar score rows — no per-pair JVM rows, no payload shuffle.
+    # All coarse math is integer (int8 codes → int64 dot / squared
+    # norm), so numpy matmul is EXACT regardless of summation order
+    # (max |term| 127²·dim ≪ 2^63); the one double division
+    # qdot/qnorm is the same two operands the expression fold divided,
+    # so qscore — and therefore shortlist membership and its
+    # (qscore, neighbor_id) tie-breaks — is bit-identical to the
+    # previous interpreted zip_with/aggregate folds and to the DuckDB
+    # oracle. The float vectors for the exact re-rank are re-attached
+    # to the tiny shortlist by key join instead of riding through the
+    # coarse scan.
+    q_rows = qq.select("query_id", "qvec").collect()
+    if not q_rows:
+        qid_type = dict(queries.dtypes)[key]
+        nid_type = dict(df.dtypes)[key]
+        return df.sparkSession.createDataFrame(
+            [],
+            f"query_id {qid_type}, neighbor_id {nid_type}, "
+            "cos_sim double, rnk int",
+        )
+    qids = [r[0] for r in q_rows]
+    Qi = np.stack([np.asarray(r[1], dtype=np.int64) for r in q_rows])
+    qid_type = dict(queries.dtypes)[key]
+    nid_type = dict(df.dtypes)[key]
+    coarse_schema = (
+        f"query_id {qid_type}, neighbor_id {nid_type}, qscore double"
+    )
+
+    def coarse_score(batches):
+        qids_arr = np.asarray(qids)
+        m = len(qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Ci = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qvec"]]
             )
-        )
+            n = len(pdf)
+            qdot = Ci @ Qi.T  # exact: integer
+            qnorm = np.sqrt((Ci * Ci).sum(axis=1).astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                qscore = np.where(
+                    qnorm[:, None] > 0,
+                    qdot.astype(np.float64) / qnorm[:, None],
+                    -np.inf,
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids_arr, n),
+                    "neighbor_id": np.repeat(pdf[key].values, m),
+                    "qscore": qscore.ravel(),
+                }
+            )
+
+    coarse = (
+        qdf.select(F.col(key), F.col("qvec"))
+        .mapInPandas(coarse_score, schema=coarse_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))  # family rule
-        .withColumn(
-            "qdot",
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"), F.col("nq"),
-                    lambda a, b: a.cast("int") * b.cast("int"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        # cosine ordering needs the neighbor norm (query norm is
-        # constant within a query group); int8 codes are direction-
-        # preserving so code-space cosine approximates float cosine
-        .withColumn(
-            "qnorm",
-            F.sqrt(
-                F.aggregate(
-                    F.col("nq"),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x.cast("int") * x.cast("int"),
-                ).cast("double")
-            ),
-        )
-        .withColumn(
-            "qscore",
-            F.when(F.col("qnorm") > 0, F.col("qdot") / F.col("qnorm"))
-            .otherwise(F.lit(float("-inf"))),
-        )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("qscore").desc(), F.col("neighbor_id")
     )
     short = coarse.withColumn("_r", F.row_number().over(wq)).filter(
         F.col("_r") <= shortlist
+    )
+    # exact float re-rank over the shortlist only: attach the float
+    # vectors back by key (shortlist ≪ corpus — AQE broadcasts it)
+    short = short.join(
+        F.broadcast(
+            qq.select("query_id", "qv").dropDuplicates(["query_id"])
+        ),
+        "query_id",
+    ).join(
+        df.select(F.col(key).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+        "neighbor_id",
     )
     exact = short.withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("nv")), 6))
     wf = Window.partitionBy("query_id").orderBy(

@@ -508,7 +508,10 @@ def winnow_fingerprints_arrow(
     def _fps(texts: pd.Series) -> pd.Series:
         return pd.Series([fps_of(t) for t in texts])
 
-    return _fps(text_col)
+    # plan barrier (guide §4.4): the posting explode downstream infers
+    # a size()>0 filter that would otherwise be pushed below with a
+    # DUPLICATE ArrowEvalPython of this UDF
+    return _fps.asNondeterministic()(text_col)
 
 
 def winnow_overlap_pairs(
@@ -914,7 +917,9 @@ def substring_anchor_fps(
     def _fps(texts: pd.Series) -> pd.Series:
         return pd.Series([anchors_of(t) for t in texts])
 
-    return _fps(text_col)
+    # plan barrier — same InferFiltersFromGenerate duplication as the
+    # winnow fingerprint UDF above
+    return _fps.asNondeterministic()(text_col)
 
 
 def substring_dup_spans(

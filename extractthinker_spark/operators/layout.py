@@ -88,24 +88,51 @@ def xy_cut_order(boxes, min_gap: float = DEFAULT_MIN_GAP) -> list[int]:
 
 
 def make_xy_cut_udf(min_gap: float = DEFAULT_MIN_GAP):
+    """Permutation UDF over FOUR parallel coordinate arrays.
+
+    Only the box coordinates cross the Python boundary (guide rule:
+    pass the columns the function needs, nothing else). The previous
+    form took the whole ``array<struct<text,x0,y0,x1,y1>>`` column, so
+    every block's TEXT was serialized to Arrow, transposed into a
+    python dict per element, and shipped back unused — measured ~4x
+    the per-row cost of the recursion itself. array<double> columns
+    arrive as numpy float64 arrays (the Arrow fast path); the
+    coordinates are the same doubles, so the permutation is
+    unchanged."""
+
     @F.pandas_udf("array<int>")
-    def xy_cut_udf(blocks: pd.Series) -> pd.Series:
-        def one(page):
-            if page is None or len(page) == 0:
-                return []
-            boxes = [
-                (b["x0"], b["y0"], b["x1"], b["y1"]) for b in page
-            ]
-            return xy_cut_order(boxes, min_gap)
+    def xy_cut_udf(
+        x0s: pd.Series, y0s: pd.Series, x1s: pd.Series, y1s: pd.Series
+    ) -> pd.Series:
+        out = []
+        for x0, y0, x1, y1 in zip(x0s, y0s, x1s, y1s):
+            if x0 is None or len(x0) == 0:
+                out.append([])
+            else:
+                out.append(
+                    xy_cut_order(list(zip(x0, y0, x1, y1)), min_gap)
+                )
+        return pd.Series(out)
 
-        return blocks.apply(one)
-
-    return xy_cut_udf
+    # Plan barrier (guide §4.4 / NOTES r5): when the permutation feeds
+    # a non-outer explode, InferFiltersFromGenerate adds a
+    # size(..)>0 filter over the UDF output and pushes it below the
+    # repartition — duplicating the ArrowEvalPython (the UDF ran TWICE,
+    # the second copy on the unsplittable pre-shuffle scan) plus two
+    # interpreted copies of the downstream transform inside the Filter.
+    # Marking the (deterministic) UDF non-deterministic forbids the
+    # duplication; one ArrowEvalPython remains.
+    return xy_cut_udf.asNondeterministic()
 
 
 def reading_order(blocks: Column, min_gap: float = DEFAULT_MIN_GAP) -> Column:
     """Column of block-index permutations in reading order."""
-    return make_xy_cut_udf(min_gap)(blocks)
+    return make_xy_cut_udf(min_gap)(
+        F.transform(blocks, lambda b: b["x0"]),
+        F.transform(blocks, lambda b: b["y0"]),
+        F.transform(blocks, lambda b: b["x1"]),
+        F.transform(blocks, lambda b: b["y1"]),
+    )
 
 
 def ordered_block_texts(
@@ -247,7 +274,11 @@ def table_from_words_udf(
             else [],
         )
 
-    return _detect(words)
+    # plan barrier (guide §4.4): the downstream explode infers a
+    # size()>0 filter that the optimizer pushed below the repartition
+    # with a DUPLICATE ArrowEvalPython of this UDF on the unsplittable
+    # scan; non-determinism forbids the duplication
+    return _detect.asNondeterministic()(words)
 
 
 def table_to_markdown(table: Column) -> Column:

@@ -811,23 +811,24 @@ def connected_components(
             .agg(F.min("vcomp").alias("ncomp"))
             .select(F.col("u").alias("node"), "ncomp")
         )
-        new = (
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter+count on the (node-sized,
+        # in-memory) checkpointed frame — the previous new-vs-labels
+        # JOIN re-shuffled both label tables every round for the same
+        # number
+        stepped = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("_prev"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.select(F.col("node"), F.col("comp").alias("nc"))
-            .join(labels, "node")
-            .filter(F.col("nc") != F.col("comp"))
-            .count()
-        )
-        labels = new
+        changed = stepped.filter(F.col("comp") != F.col("_prev")).count()
+        labels = stepped.select("node", "comp")
         if changed == 0:
             break
     edges.unpersist()

@@ -78,7 +78,63 @@ def decode_eml_spans(b: bytes) -> list[tuple[str, str | None, str | None]]:
     ``attach:defective:<content-type>`` rather than poisoning the row
     (the corrupt-row guard upstream only catches whole-message
     failures).
+
+    Implementation: structure parsing runs under the legacy compat32
+    policy — ``policy.default`` re-parses Content-Type through the
+    headerregistry grammar on EVERY ``get_content_type`` call (the
+    feedparser alone issues ~15 per message; profiled ~4 ms/message,
+    dominating eml ingest wall time) while compat32 uses the O(len)
+    split parser and agrees on every well-formed header. The two
+    places where policy.default SEMANTICS are visible in the output
+    keep them exactly: the four display headers go through
+    ``policy.default.header_fetch_parse`` verbatim (compat32 and
+    EmailPolicy share the same ``header_source_parse``, so the raw
+    value it sees is identical), and text content replays
+    ``raw_data_manager.get_text_content`` line for line
+    (payload CTE-decode + charset param + ``errors='replace'``).
+    ``decode_eml_spans_reference`` keeps the policy.default walk; a
+    differential test pins fast == reference over the fixture corpus
+    including defective mutations.
     """
+    import email
+    from email import policy
+
+    msg = email.message_from_bytes(b)  # compat32: fast structure parse
+    out: list[tuple[str, str | None, str | None]] = []
+    hdr = []
+    for h in ("Subject", "From", "To", "Date"):
+        v = msg.get(h)
+        if v:
+            # exactly policy.default's header fetch: the raw source
+            # value through the rfc2047-decoding header factory
+            hdr.append(f"{h}: {policy.default.header_fetch_parse(h, v)}")
+    if hdr:
+        out.append(("text", "\n".join(hdr), None))
+    for part in _body_leaves(msg):
+        ctype = part.get_content_type()
+        if ctype.split("/", 1)[0] == "text":
+            try:
+                # raw_data_manager.get_text_content(part) replayed:
+                payload = part.get_payload(decode=True)
+                charset = part.get_param("charset", "ASCII")
+                content = payload.decode(charset, errors="replace")
+            except Exception:
+                out.append(("media", None, f"attach:defective:{ctype}"))
+                continue
+            out.append(
+                ("html" if ctype == "text/html" else "text", content, None)
+            )
+        else:
+            out.append(("media", None, f"attach:{part.get_filename() or ctype}"))
+    return out
+
+
+def decode_eml_spans_reference(
+    b: bytes,
+) -> list[tuple[str, str | None, str | None]]:
+    """The original policy.default walk — kept as the differential
+    oracle for the compat32 fast path (tests/test_email.py pins
+    fast == reference over the fixture corpus + mutations)."""
     import email
     from email import policy
 

@@ -148,3 +148,45 @@ def test_parse_raw_bytes_end_to_end(spark):
 
 def test_eml_headers_tuple_is_lowercase_colon():
     assert all(h == h.lower() and h.endswith(":") for h in EML_HEADERS)
+
+
+def test_eml_fast_path_matches_policy_default_reference():
+    """The compat32 fast walk must reproduce the policy.default walk
+    span-for-span over the fixture corpus, including defective
+    mutations (broken charset, truncated base64, bogus content-type,
+    bare non-MIME, forwarded rfc822)."""
+    from extractthinker_spark.operators.email_mime import (
+        decode_eml_spans_reference,
+    )
+
+    cases: list[bytes] = []
+    for i in range(40):
+        cases.append(
+            make_fixture_eml(
+                f"body {i} café " * (i % 7 + 1),
+                subject=f"Msg {i} café",
+                html=bool(i % 2),
+                attach=(f"r_{i}.pdf" if i % 3 == 0 else None),
+            )
+        )
+    cases.append(b"From: a@b.c\r\nSubject: bare\r\n\r\njust text\r\n")
+    inner = make_fixture_eml("inner body text", subject="inner")
+    cases.append(
+        b"From: f@g.h\r\nSubject: fwd\r\nMIME-Version: 1.0\r\n"
+        b"Content-Type: message/rfc822\r\n\r\n" + inner
+    )
+    cases.append(
+        b"From: a@b.c\r\nSubject: s\r\nMIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/mixed; boundary="BB"\r\n\r\n'
+        b"--BB\r\nContent-Type: text/plain; charset=ebcdic-nonsense\r\n"
+        b"Content-Transfer-Encoding: 8bit\r\n\r\nabc\r\n--BB--\r\n"
+    )
+    cases.append(
+        b"Subject: =?utf-8?b?Y2Fmw6k=?= mixed =?utf-8?q?t=C3=A9a?=\r\n"
+        b"From: x@y.z\r\n\r\nplain body\r\n"
+    )
+    # mutations: truncate / splice each fixture to stress defect paths
+    for i in range(0, len(cases), 3):
+        cases.append(cases[i][: max(20, len(cases[i]) // 2)])
+    for raw in cases:
+        assert decode_eml_spans(raw) == decode_eml_spans_reference(raw), raw[:120]

@@ -14,9 +14,10 @@ Scale shape (the part that matters at 100 TB):
     ``<unk>``) and ``min_count`` prunes rare bigrams, so the model is
     small by construction.
   * Scoring never reassembles token arrays: bigrams are formed
-    positionally inside the doc row (array element access is O(1)),
-    exploded, mapped through two BROADCAST vocab joins, probability-
-    joined against the BROADCAST model, and re-aggregated with ONE
+    positionally inside the doc row (codegen'd slice+arrays_zip),
+    exploded, vocab-mapped with an InSet expression (the collected
+    vocab is <= vocab_size by construction), joined against the
+    BROADCAST precomputed log-prob tables, and re-aggregated with ONE
     map-combinable groupBy on the doc key. No corpus-side wide
     shuffle beyond that single keyed agg.
   * ``V`` (the smoothing denominator) rides along as a broadcast
@@ -49,17 +50,21 @@ def _words(text: Column) -> Column:
 
 def _bigram_rows(df: DataFrame, key: str, text_col: str) -> DataFrame:
     """One row per consecutive word pair. Docs with < 2 words emit
-    nothing (a bigram model has no transition to score)."""
+    nothing (a bigram model has no transition to score).
+
+    Codegen shape: two array slices zipped — the previous
+    ``transform(sequence(1, n-1), i -> element_at(w, i))`` form is a
+    higher-order function (interpreted) that re-evaluates the word
+    array per element; slice/arrays_zip are whole-stage-codegen'd with
+    the repeated word-array subtree CSE'd."""
     w = _words(F.col(text_col))
-    pairs = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    zipped = F.arrays_zip(
+        F.slice(w, 1, F.size(w) - 1).alias("w1"),
+        F.slice(w, 2, F.size(w) - 1).alias("w2"),
+    )
+    pairs = F.when(F.size(w) >= 2, zipped).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
     return df.select(F.col(key).alias(key), F.explode(pairs).alias("p")).select(
         key, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
@@ -159,20 +164,56 @@ def score_bigram_lm(
     best-scoring head/middle of the distribution — pair with
     ``F.percent_rank`` downstream for that cut."""
     bg = _bigram_rows(df, key, text_col)
-    bg = _map_side(_map_side(bg, "w1", model.vocab), "w2", model.vocab)
-    scored = (
-        bg.join(
-            F.broadcast(model.bigram), ["w1", "w2"], "left"
-        )
-        .join(F.broadcast(model.marginal), ["w1"], "left")
+    # Vocabulary mapping as an InSet expression instead of two
+    # broadcast joins: the vocab is <= vocab_size rows BY CONSTRUCTION
+    # (and already localCheckpoint'ed / broadcast twice before), so
+    # collecting it costs what the broadcast relations already cost,
+    # and the corpus-side plan drops two BroadcastHashJoins over the
+    # exploded bigram rows.
+    vocab_list = [r[0] for r in model.vocab.collect()]
+
+    def _mapped(c: Column) -> Column:
+        if not vocab_list:
+            return F.lit(UNK)
+        return F.when(c.isin(vocab_list), c).otherwise(F.lit(UNK))
+
+    bg = bg.select(key, _mapped(F.col("w1")).alias("w1"),
+                   _mapped(F.col("w2")).alias("w2"))
+    # Model-side log-prob precompute: per DISTINCT (w1,w2) / w1 the
+    # same ln((c12+1)/(c1+V)) the old plan evaluated per exploded
+    # corpus row — identical operands, identical doubles, ~10^6x fewer
+    # ln calls. Scoring is then one broadcast pair join + one
+    # broadcast marginal join + the 1-row unseen fallback (was five
+    # joins, with the division+ln per corpus bigram).
+    pair_lp = (
+        model.bigram.join(F.broadcast(model.marginal), "w1")
         .crossJoin(F.broadcast(model.v_df))
         .select(
-            key,
+            "w1", "w2",
             F.log(
-                (F.coalesce("c12", F.lit(0)) + 1).cast("double")
-                / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double")
-            ).alias("lp"),
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("lp12"),
         )
+    )
+    marg_lp = (
+        model.marginal.crossJoin(F.broadcast(model.v_df))
+        .select(
+            "w1",
+            F.log(
+                F.lit(1.0)
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("lp1"),
+        )
+    )
+    unseen_lp = model.v_df.select(
+        F.log(F.lit(1.0) / F.col("v").cast("double")).alias("lp0")
+    )
+    scored = (
+        bg.join(F.broadcast(pair_lp), ["w1", "w2"], "left")
+        .join(F.broadcast(marg_lp), ["w1"], "left")
+        .crossJoin(F.broadcast(unseen_lp))
+        .select(key, F.coalesce("lp12", "lp1", "lp0").alias("lp"))
     )
     return scored.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_terms"),

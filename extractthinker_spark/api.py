@@ -404,6 +404,10 @@ class Process:
         merged = doc_text(self.extract_content(nest=True)).select(
             "doc_id", F.col("content").alias("text")
         )
+        if mode not in ("greedy", "chop"):
+            raise ValueError(
+                f"pack mode must be 'greedy' or 'chop', got {mode!r}"
+            )
         packer = pack_chop if mode == "chop" else _pack
         return packer(merged, budget=budget, n_groups=n_groups)
 

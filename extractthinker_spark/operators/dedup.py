@@ -761,6 +761,7 @@ def connected_components(
     b_col: str = "b",
     max_iters: int = 15,
     strict: bool = False,
+    driver_max_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """(node, comp) — connected components of the near-dup pair graph,
     comp = the smallest node id reachable from ``node``. The step
@@ -768,20 +769,27 @@ def connected_components(
     SimHash/cosine) and the keep-list: near-duplicates are EQUIVALENCE
     CLASSES, and pairs alone over-keep (a~b, b~c but a!~c by pair).
 
-    Min-label propagation: each round every node takes the min comp
-    across its neighborhood (one join + one map-side-combinable min
-    per round), stopping when a round changes nothing — rounds needed
-    = graph diameter, and near-dup clusters are shallow (stars/short
-    chains), so 3-4 rounds is typical. ``max_iters`` bounds
-    adversarial chains; the convergence check is one count per round
-    on the labels table (node-sized, never edge-sized). Hitting
-    ``max_iters`` without convergence is never silent (same rule as
-    the MinHash bucket-cap audit): a warning is emitted, or with
-    ``strict=True`` a ``RuntimeError`` — truncated propagation means
-    split components and an over-kept keep-list. Labels are
-    localCheckpoint'ed each round — iterative plans DOUBLE per round
-    otherwise and Catalyst re-optimizes the whole history (the
-    classic iterative-algorithm trap).
+    Two execution paths, same labels (comp = min reachable node — the
+    iterative fixpoint and union-find both compute exactly this):
+
+    * **Bounded graphs** (directed edge count <= ``driver_max_edges``
+      after symmetrization, checked with one count on the persisted
+      edge table): union-find on the collected edges. Near-dup pair
+      graphs are sparse BY CONSTRUCTION (band-bucket caps / posting
+      df-caps upstream bound pair fan-out), so this is the common
+      case, and it replaces diameter-many sequential join rounds with
+      one collect — the same boundedness class as the Bloom-word and
+      IVF-centroid collects. 2M edges ≈ tens of MB on the driver.
+    * **Large graphs** (or ``driver_max_edges=None``): min-label
+      propagation — each round every node takes the min comp across
+      its neighborhood (one join + one map-side-combinable min per
+      round), stopping when a round changes nothing; rounds needed =
+      graph diameter. ``max_iters`` bounds adversarial chains; the
+      convergence check is a filter+count on the checkpointed
+      node-sized labels. Hitting ``max_iters`` without convergence is
+      never silent: a warning, or ``strict=True`` → RuntimeError.
+      Labels are localCheckpoint'ed each round — iterative plans
+      DOUBLE per round otherwise (the classic trap).
     """
     edges = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
@@ -793,6 +801,15 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if driver_max_edges is not None:
+        # one count on the persisted edges (the iterative path's first
+        # round would materialize them anyway)
+        n_edges = edges.count()
+        if n_edges <= driver_max_edges:
+            try:
+                return _components_driver(edges)
+            finally:
+                edges.unpersist()
     labels = (
         edges.select("u").distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("comp"))
@@ -842,6 +859,42 @@ def connected_components(
             raise RuntimeError(msg)
         warnings.warn(msg, stacklevel=2)
     return labels
+
+
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected (bounded) symmetric edge table;
+    labels = min node per component — exactly the iterative fixpoint.
+    Output schema matches the edge key type (node, comp)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    labels = [(n, comp_min[find(n)]) for n in parent]
+    schema = edges.select(
+        F.col("u").alias("node"), F.col("u").alias("comp")
+    ).schema
+    return edges.sparkSession.createDataFrame(labels, schema=schema)
 
 
 def dedup_near_canonical(
@@ -1006,16 +1059,19 @@ def substring_dup_spans(
         # anchor stage uses) + numpy first-mismatch scans replace the
         # per-candidate Python char loop (r5 verdict 'what's wrong'
         # #2). Texts repeat across a doc pair's candidate rows, so
-        # encode each distinct string once per batch — keyed by id(),
-        # safe here because the input Series keeps every string alive
-        # for the whole call.
-        arrs: dict[int, "np.ndarray"] = {}
+        # encode each distinct string once per batch — keyed by id().
+        # The cache entry HOLDS the string too, so the memo stays
+        # lifetime-safe even if a future pandas/Arrow dtype stops
+        # pinning elements for the whole call (a freed id being reused
+        # would otherwise silently return the wrong code array).
+        arrs: dict[int, tuple[str, "np.ndarray"]] = {}
 
         def codes(s: str) -> "np.ndarray":
-            a = arrs.get(id(s))
-            if a is None:
-                a = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
-                arrs[id(s)] = a
+            hit = arrs.get(id(s))
+            if hit is not None:
+                return hit[1]
+            a = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+            arrs[id(s)] = (s, a)
             return a
 
         def prefix_eq(x: "np.ndarray", y: "np.ndarray") -> int:

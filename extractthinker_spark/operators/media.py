@@ -809,8 +809,16 @@ def decode_jpeg_dc_luminance(b: bytes) -> "np.ndarray":
                 _cid, chf, cvf, _tq = comps[ci]
                 hmax = max(c[1] for c in comps)
                 vmax = max(c[2] for c in comps)
-                cbw = -(-(-(-w * chf) // hmax) // 8)
-                cbh = -(-(-(-h * cvf) // vmax) // 8)
+                # T.81 A.1.1: component sample extent is CEIL(w*chf/
+                # hmax) (the previous floor under-counted a block
+                # column/row when the scaled extent of a subsampled
+                # component lands just past a block boundary, e.g.
+                # w=33, chf=1, hmax=2 -> 17 samples = 3 block cols),
+                # then block count is CEIL(samples/8) — double-ceil.
+                cw = -(-(w * chf) // hmax)
+                ch = -(-(h * cvf) // vmax)
+                cbw = -(-cw // 8)
+                cbh = -(-ch // 8)
                 for y in range(cbh):
                     for x in range(cbw):
                         advance()

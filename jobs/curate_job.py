@@ -88,7 +88,6 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
         strip_control_chars,
     )
     from extractthinker_spark.operators.dedup import (
-        dedup_exact,
         dedup_lines_corpus,
         dedup_minhash,
         dedup_near_canonical,
@@ -158,9 +157,21 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
         "doc_id", F.col("text_scrubbed").alias("text")
     )
 
-    # 7. exact dedup (smallest doc_id per fingerprint)
-    keep = dedup_exact(text, "doc_id", "text").select("doc_id")
-    text = text.join(keep, "doc_id").localCheckpoint()
+    # 7. exact dedup (smallest doc_id per fingerprint). Same survivor
+    # set as dedup_exact + join-back (min doc_id per fingerprint), but
+    # as a row_number window over the fingerprint — ONE shuffle
+    # instead of the keep-list aggregation plus the join back.
+    from pyspark.sql import Window
+
+    from extractthinker_spark.functions.textstats import fingerprint
+
+    w_fp = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    text = (
+        text.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
     funnel["after_exact_dedup"] = text.count()
 
     # 8. near-dup canonical keep-list (MinHash + connected components)
@@ -265,7 +276,11 @@ def main(argv: list[str] | None = None, stop: bool = True) -> dict:
         os.path.join(args.output, "_audit", "funnel.json"), "w"
     ) as f:
         json.dump(report, f, indent=2)
-    print(json.dumps(report))
+    # stderr, NOT stdout: bench.py's contract is ONE JSON line on
+    # stdout, and the funnel runs inside it — r6's driver snapshot
+    # failed to parse because these report lines landed in the stdout
+    # tail capture ahead of the bench line.
+    print(json.dumps(report), file=sys.stderr)
     if stop:
         spark.stop()
     return report

@@ -234,14 +234,17 @@ def test_connected_components_nonconvergence_audited(spark):
     )
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
-        connected_components(chain, max_iters=1).collect()
+        connected_components(chain, max_iters=1,
+                             driver_max_edges=None).collect()
     assert any("did not converge" in str(c.message) for c in caught)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iters=1, strict=True)
+        connected_components(chain, max_iters=1, strict=True,
+                             driver_max_edges=None)
     # a converged run stays silent
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
-        connected_components(chain, max_iters=10).collect()
+        connected_components(chain, max_iters=10,
+                             driver_max_edges=None).collect()
     assert not any("did not converge" in str(c.message) for c in caught)
 
 
@@ -345,3 +348,24 @@ def test_remove_substring_spans_end_to_end(spark):
     out = remove_substring_spans(doc, manual).collect()[0]
     assert out["text_clean"] == "abcz"
     assert out["n_chars_removed"] == 5
+
+
+def test_connected_components_driver_path_matches_iterative(spark):
+    """The bounded-graph union-find fast path must label exactly like
+    min-label propagation: comp = min reachable node, same node set,
+    same schema — over stars, chains, an isolated pair, and a cycle."""
+    from extractthinker_spark.operators.dedup import connected_components
+
+    edges = (
+        [(10, 11), (10, 12), (10, 13)]        # star
+        + [(20, 21), (21, 22), (22, 23)]      # chain
+        + [(30, 31)]                          # pair
+        + [(40, 41), (41, 42), (42, 40)]      # cycle
+    )
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    fast = connected_components(pairs)  # default: driver path
+    slow = connected_components(pairs, driver_max_edges=None)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )

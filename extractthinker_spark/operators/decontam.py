@@ -70,7 +70,12 @@ def contamination_hits(
         doc_grams.join(grams, "gram")
         .groupBy(key)
         .agg(
-            F.count_distinct("gram").alias("hits"),
+            # count(*) == count_distinct(gram) here BY CONSTRUCTION:
+            # word_ngrams is array_distinct per document and the bench
+            # side is distinct'd, so the join emits at most one row
+            # per (doc, gram) — dropping count_distinct removes the
+            # Expand + extra aggregation pass from the plan.
+            F.count(F.lit(1)).alias("hits"),
             F.min("gram").alias("top_gram"),
         )
     )

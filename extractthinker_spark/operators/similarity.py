@@ -554,6 +554,17 @@ def lloyd_centroids_portable(
     # construction — localCheckpoint cost is trivial and row values
     # are unchanged (the oracle replays the same sample).
     train = train.localCheckpoint()
+    if impl == "arrow":
+        # The whole Lloyd loop runs on the DRIVER over the collected
+        # bounded sample (same boundedness class as the centroid
+        # collects the expr path already does per round): one job
+        # instead of 1 init + 2·iters driver-blocking jobs. Numpy
+        # assignment is the same first-min argmin as _assign_arrow;
+        # per-cell means differ from the expr path only by float
+        # summation order (~1e-16), far below the ~1e-5 assignment-gap
+        # margin — the documented selection-only protocol pinned by
+        # the value-level oracle every round.
+        return _lloyd_driver(train, n_lists, iters)
     # Init ranks {floor(i*n/k)+1} WITHOUT a separate count() action:
     # rank r is an init rank iff ceil((r-1)*k/n) < ceil(r*k/n) (the
     # interval [ (r-1)*k, r*k ) contains a multiple of n — identity
@@ -600,6 +611,43 @@ def lloyd_centroids_portable(
             for i, c in enumerate(cents)
         ]
     return cents
+
+
+def _lloyd_driver(
+    train: DataFrame, n_lists: int, iters: int
+) -> list[list[float]]:
+    """Driver-side twin of the portable Lloyd loop over the collected
+    (bounded, localCheckpoint'ed) sample: identical init-rank
+    selection (the ceil-interval identity on key-ranked rows),
+    first-min argmin assignment, per-cell means, empty cells keep
+    their previous centroid."""
+    pdf = train.toPandas()  # Arrow path — ~10x a row collect here
+    pdf = pdf.sort_values(pdf.columns[0], kind="mergesort")
+    n = len(pdf)
+    if n < n_lists:
+        raise ValueError(
+            f"training set has {n} usable init rows < n_lists={n_lists}"
+        )
+    # rank r (1-based) is an init rank iff the interval [(r-1)k, rk)
+    # contains a multiple of n — the same identity the window path
+    # evaluates
+    init_idx = [
+        r - 1
+        for r in range(1, n + 1)
+        if ((r - 1) * n_lists + n - 1) // n < (r * n_lists + n - 1) // n
+    ]
+    M = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf[pdf.columns[1]]]
+    )
+    cents = M[init_idx].copy()
+    for _ in range(iters):
+        d2 = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)  # first min == (d2, list_id) tie-break
+        for c in range(n_lists):
+            members = M[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
 
 
 def ann_topk_ivf_portable(

@@ -51,11 +51,13 @@ def main() -> int:
         "green row (CORRECTNESS_r{N}.json). The driver checks the registry's",
         "FIRST 50 keys only, so `queries()` is ordered in blocks:",
         "",
-        "- **Block A** (slots 1-28): keys with no driver row in r4/r5 —",
-        "  rotated into the window for the round-6 check.",
-        "- **Block B**: new round-6 queries (no prior row possible).",
-        "- **Block C**: keys driver-green in r5; they re-enter the window as",
-        "  space allows and stay within the 2-round freshness bar via r5.",
+        "- **Block A** (r7: slots 1-34): keys whose last driver row is two",
+        "  rounds old — rotated into the window so they stay inside the",
+        "  freshness bar.",
+        "- **Block B** (r7: slots 35-50): last-round-green keys refreshed as",
+        "  space allows.",
+        "- **Block C**: keys green last round; they re-enter the window as",
+        "  space allows and stay within the 2-round freshness bar.",
         "",
         "Update this table each round from the new CORRECTNESS file",
         "(`python scripts/update_coverage.py` regenerates it).",

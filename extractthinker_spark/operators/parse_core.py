@@ -193,10 +193,19 @@ def extract_json_str(text: Column) -> Column:
     preferred), NULL when none — the reference's match.group()
     (utils.py:200-214/:479-540). May be unparseable (unbalanced) for
     nested bare objects; parse_json_fields turns that into NULL, the
-    loads-or-None step."""
+    loads-or-None step.
+
+    Both regex extractions are let-bound (evaluated ONCE) before the
+    when-chain: a CASE branch references its value in the condition
+    AND the result, and conditional-branch CSE does not deduplicate
+    them — the fence regex (the expensive one: lazy body match) ran
+    twice per row, measured ~1.6x the whole extraction."""
     fenced = F.regexp_extract(text, JSON_FENCE_RE, 1)
     bare = F.regexp_extract(text, JSON_BARE_RE, 1)
-    return F.when(fenced != "", fenced).when(bare != "", bare)
+    return F.transform(
+        F.array(F.struct(fenced.alias("f"), bare.alias("b"))),
+        lambda s: F.when(s["f"] != "", s["f"]).when(s["b"] != "", s["b"]),
+    )[0]
 
 
 def parse_json_fields(text: Column, schema: str) -> Column:

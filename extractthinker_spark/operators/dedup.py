@@ -246,22 +246,30 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs; keeps pairs with
     jaccard >= threshold. Joins shingle arrays to both sides — only
-    candidates pay this cost."""
+    candidates pay this cost.
+
+    |union| is derived as |A| + |B| - |intersect| (exact: the shingle
+    arrays are distinct by construction — char_shingles ends in
+    array_distinct), so the per-pair ``array_union`` materialization
+    (a fresh ~|A|+|B| string array per candidate pair, the larger of
+    the two set ops) is gone; the division sees the same integer
+    operands as before, so the jaccard double is bit-identical. The
+    intersect size is let-bound via the repo's 1-element
+    transform-struct trick (it feeds both numerator and denominator;
+    conditional/duplicated-subtree CSE is not guaranteed)."""
     sh = df.select(
         F.col(key).alias("_k"),
         char_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.transform(
+        F.array(F.struct(inter.alias("i"))),
+        lambda s: s["i"] / (F.size("sh_a") + F.size("sh_b") - s["i"]),
+    )[0]
     out = (
         pairs.join(sh.withColumnRenamed("_k", "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sh.withColumnRenamed("_k", "b").withColumnRenamed("sh", "sh_b"), "b")
-        .select(
-            "a",
-            "b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
+        .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return out

@@ -58,30 +58,180 @@ def duplicate_groups_exact(df: DataFrame, key: str, text_col: str) -> DataFrame:
 # Shingles + MinHash + LSH
 # --------------------------------------------------------------------------
 
+def _shingles_of_fn(k: int):
+    """Per-string distinct k-gram builder (python side), byte-exact
+    with the original Catalyst per-char split + slice + array_join +
+    array_distinct expression for every input (pinned by
+    tests/test_shingles.py):
+
+      * Spark's ``split(s, '')`` yields CODE POINTS (not UTF-16
+        units — verified empirically), exactly Python/UTF-32 slicing;
+      * n <= k  → one shingle, the whole text ('' → [''], 'a'→['a']);
+      * NULL    → [NULL] (the old expression's sequence(1,1) over a
+        null array);
+      * distinct keeps FIRST-OCCURRENCE order (array_distinct
+        semantics; pd.unique / dict.fromkeys);
+      * strings containing NUL take the slicing loop (numpy's
+        fixed-width unicode dtype strips trailing NULs)."""
+    import numpy as np
+    import pandas as pd
+
+    def shingles_of(s):
+        if s is None:
+            return [None]
+        n = len(s)
+        if n <= k:
+            return [s]
+        if n > 256 and "\x00" not in s:
+            arr = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            w = np.lib.stride_tricks.sliding_window_view(arr, k)
+            grams = np.ascontiguousarray(w).view(f"<U{k}").ravel()
+            return pd.unique(grams).tolist()
+        return list(dict.fromkeys(s[i:i + k] for i in range(n - k + 1)))
+
+    return shingles_of
+
+
+_SHINGLE_UDFS: dict[int, object] = {}
+
+
+def _shingle_udf(k: int):
+    """Arrow-batch shingle builder for a fixed ``k`` (cached per k).
+
+    Replaces the previous pure-Catalyst per-char split + slice +
+    array_join chain: those are higher-order functions Catalyst
+    evaluates INTERPRETED — ~1 ms/KB-doc, ~4.4 s of the 2000-doc
+    funnel across the three shingle passes. The numpy path builds all
+    windows of the UTF-32 view at once and a fixed-width string view
+    over them (guide §4.2: batch native compute), ~10x cheaper.
+
+    Marked nondeterministic — the repo's established plan barrier so
+    InferFiltersFromGenerate cannot duplicate the UDF below a
+    downstream explode (guide §4.4); subtree reuse across join sides
+    is provided by the callers' lazy localCheckpoints instead."""
+    if k in _SHINGLE_UDFS:
+        return _SHINGLE_UDFS[k]
+    import pandas as pd
+
+    shingles_of = _shingles_of_fn(k)
+
+    @F.pandas_udf("array<string>")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(shingles_of)
+
+    udf = sh_udf.asNondeterministic()
+    _SHINGLE_UDFS[k] = udf
+    return udf
+
+
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct char k-grams of the normalized text — pure Catalyst.
-
-    The chars are split ONCE into a let-bound array and each gram is
-    an O(k) array slice: the direct ``substr(norm, p, k)`` form
-    re-inlines the whole normalization regex chain per position (no
-    CSE across lambda boundaries — NOTES.md) and seeks from the
-    string start per call, turning a 60 KB mega-doc into ~10^9 regex
-    chars (measured 395 s for six such docs before this fix; linear
-    after)."""
-
-    def shingles_of(chars: Column) -> Column:
-        n = F.greatest(F.size(chars) - (k - 1), F.lit(1))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n),
-                lambda p: F.array_join(F.slice(chars, p, k), ""),
-            )
-        )
-
-    return _let(F.split(F.lower(normalize_ws_sql(text)), ""), shingles_of)
+    """Distinct char k-grams of the normalized text (first-occurrence
+    order). Normalization + lowercasing stay Catalyst expressions; the
+    windowing/distinct runs as one Arrow batch per task
+    (see _shingle_udf)."""
+    return _shingle_udf(k)(F.lower(normalize_ws_sql(text)))
 
 
 _MERSENNE31 = (1 << 31) - 1
+
+# xxHash64 constants (public-domain algorithm; Collet, github.com/
+# Cyan4973/xxHash spec). Replicated so the minhash signature UDF can
+# hash shingles BIT-IDENTICALLY to Spark's ``xxhash64(seed=42)``
+# without shipping the shingle strings back to the JVM (parity pinned
+# by tests/test_shingles.py::test_xxh64_matches_spark).
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64_fixed_np(mat, seed: int = 42):
+    """Vectorized XXH64 over n same-length rows (mat: (n, L) uint8,
+    L < 32 — the small-input path; every lane op is a numpy uint64
+    wraparound op, exactly the C semantics)."""
+    import numpy as np
+
+    n, L = mat.shape
+    u64 = np.uint64
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    with np.errstate(over="ignore"):
+        h = np.full(n, u64(seed) + u64(_XXP5) + u64(L), dtype=np.uint64)
+        i = 0
+        while L - i >= 8:
+            lane = np.ascontiguousarray(mat[:, i:i + 8]).view("<u8").ravel()
+            k1 = rotl(lane * u64(_XXP2), 31) * u64(_XXP1)
+            h ^= k1
+            h = rotl(h, 27) * u64(_XXP1) + u64(_XXP4)
+            i += 8
+        if L - i >= 4:
+            lane = (
+                np.ascontiguousarray(mat[:, i:i + 4]).view("<u4").ravel()
+                .astype(np.uint64)
+            )
+            h ^= lane * u64(_XXP1)
+            h = rotl(h, 23) * u64(_XXP2) + u64(_XXP3)
+            i += 4
+        while i < L:
+            h ^= mat[:, i].astype(np.uint64) * u64(_XXP5)
+            h = rotl(h, 11) * u64(_XXP1)
+            i += 1
+        h ^= h >> u64(33)
+        h *= u64(_XXP2)
+        h ^= h >> u64(29)
+        h *= u64(_XXP3)
+        h ^= h >> u64(32)
+    return h
+
+
+def _xxh64_any(b: bytes, seed: int = 42) -> int:
+    """Pure-python XXH64 for arbitrary input length (the >= 32-byte
+    accumulator path included) — the fallback for oversized shingles
+    (k large enough that a shingle's UTF-8 exceeds 31 bytes)."""
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    n = len(b)
+    i = 0
+    if n >= 32:
+        v = [(seed + _XXP1 + _XXP2) & _M64, (seed + _XXP2) & _M64,
+             seed & _M64, (seed - _XXP1) & _M64]
+        while n - i >= 32:
+            for j in range(4):
+                lane = int.from_bytes(b[i:i + 8], "little")
+                v[j] = (rotl((v[j] + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+                i += 8
+        h = (rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12)
+             + rotl(v[3], 18)) & _M64
+        for vj in v:
+            h ^= (rotl((vj * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while n - i >= 8:
+        lane = int.from_bytes(b[i:i + 8], "little")
+        h ^= (rotl((lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((rotl(h, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if n - i >= 4:
+        h ^= (int.from_bytes(b[i:i + 4], "little") * _XXP1) & _M64
+        h = ((rotl(h, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (b[i] * _XXP5) & _M64
+        h = (rotl(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
 
 
 def _perm_constants(i: int) -> tuple[int, int]:
@@ -93,6 +243,109 @@ def _perm_constants(i: int) -> tuple[int, int]:
     return a, b
 
 
+_SIG_UDFS: dict[tuple[int, int], object] = {}
+
+
+def _minhash_sig_udf(num_perm: int, shingle_k: int):
+    """Arrow-batch minhash signatures: normalized text in, the
+    ``num_perm`` per-document minima out (array<bigint>) — one row per
+    document, nothing exploded and nothing shuffled.
+
+    Bit-identical to the previous explode → ``xxhash64`` →
+    ``min(pmod(a_i*h+b_i, M))`` aggregation pipeline, term by term:
+
+      * shingles: the shared ``_shingles_of_fn`` (byte-exact with the
+        original Catalyst expression, see there);
+      * base hash: XXH64(utf8(shingle), seed=42) — Spark's
+        ``xxhash64`` (vectorized per byte-length bucket for < 32-byte
+        shingles, pure-python otherwise; parity pinned in
+        tests/test_shingles.py);
+      * ``pmod``: numpy int64 ``%`` with a positive modulus has the
+        positive-remainder semantics of Spark's pmod;
+      * permutation family: a_i*h + b_i < 2^62 — exact in int64 for
+        both engines; per-document minima via minimum.reduceat;
+      * NULL text → the old pipeline exploded the [NULL] shingle
+        array and ``xxhash64(NULL)`` passes the SEED through (42 — a
+        null field is a no-op in Spark's hash expressions), so the
+        signature is the permutation of h=42, reproduced verbatim
+        (differential-tested: the null row was the one mismatch of
+        the first cut).
+
+    Replacing the aggregation removes the signature exchange AND the
+    per-shingle row materialization from every minhash plan (guide
+    §2.3/§2.4: the 64 mins per document are the only bytes that ever
+    needed to leave the scan stage)."""
+    cache_key = (num_perm, shingle_k)
+    if cache_key in _SIG_UDFS:
+        return _SIG_UDFS[cache_key]
+    import numpy as np
+    import pandas as pd
+
+    shingles_of = _shingles_of_fn(shingle_k)
+    A = np.array(
+        [_perm_constants(i)[0] for i in range(num_perm)], dtype=np.int64
+    )
+    B = np.array(
+        [_perm_constants(i)[1] for i in range(num_perm)], dtype=np.int64
+    )
+    M = np.int64(_MERSENNE31)
+    # xxhash64(NULL) passes the seed through; null-text docs shingle
+    # to [NULL], so their one "gram hash" is exactly 42
+    null_sig = [int((42 * a + b) % int(M)) for a, b in zip(A, B)]
+
+    def sig_batch(texts: pd.Series) -> pd.Series:
+        grams_per_doc = []
+        flat: list[bytes] = []
+        counts: list[int] = []
+        for s in texts:
+            if s is None:
+                grams_per_doc.append(None)
+                continue
+            gs = shingles_of(s)
+            grams_per_doc.append(len(gs))
+            counts.append(len(gs))
+            flat.extend(g.encode("utf-8") for g in gs)
+        if flat:
+            h_u64 = np.empty(len(flat), dtype=np.uint64)
+            by_len: dict[int, list[int]] = {}
+            for idx, b in enumerate(flat):
+                by_len.setdefault(len(b), []).append(idx)
+            for length, idxs in by_len.items():
+                if 0 < length < 32:
+                    mat = np.frombuffer(
+                        b"".join(flat[i] for i in idxs), dtype=np.uint8
+                    ).reshape(-1, length)
+                    h_u64[idxs] = _xxh64_fixed_np(mat)
+                else:
+                    for i in idxs:
+                        h_u64[i] = _xxh64_any(flat[i])
+            h = h_u64.view(np.int64) % M
+            starts = np.concatenate(
+                ([0], np.cumsum(counts[:-1], dtype=np.int64))
+            )
+            mins = np.empty((len(counts), num_perm), dtype=np.int64)
+            for i in range(num_perm):
+                v = (h * A[i] + B[i]) % M
+                mins[:, i] = np.minimum.reduceat(v, starts)
+        out = []
+        seg = 0
+        for g in grams_per_doc:
+            if g is None:
+                out.append(null_sig)
+            else:
+                out.append(mins[seg].tolist())
+                seg += 1
+        return pd.Series(out)
+
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        return sig_batch(texts)
+
+    udf = sig_udf.asNondeterministic()
+    _SIG_UDFS[cache_key] = udf
+    return udf
+
+
 def minhash_signatures_df(
     df: DataFrame,
     key: str,
@@ -100,30 +353,13 @@ def minhash_signatures_df(
     num_perm: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(key, sig: array<bigint>) minhash signatures.
-
-    Shape: explode shingles → hash each ONCE (xxhash64) → derive the
-    permutation family arithmetically (a_i*h + b_i) → 64 map-side
-    combinable ``min`` aggregates. One narrow shuffle on the key; the
-    base hash is computed once per shingle (never per permutation) —
-    the expression-nesting alternative recomputes shingles per
-    permutation and is ~20x slower.
-    """
-    sh = df.select(
+    """(key, sig: array<bigint>) minhash signatures — one Arrow batch
+    pass, zero shuffles (see _minhash_sig_udf for the bit-exactness
+    argument vs the previous explode + 64-min-aggregate pipeline)."""
+    norm = F.lower(normalize_ws_sql(F.col(text_col)))
+    return df.select(
         F.col(key).alias("_k"),
-        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
-    ).select("_k", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h"))
-    aggs = []
-    for i in range(num_perm):
-        a, b = _perm_constants(i)
-        aggs.append(
-            F.min(
-                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
-            ).alias(f"h{i}")
-        )
-    wide = sh.groupBy("_k").agg(*aggs)
-    return wide.select(
-        "_k", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+        _minhash_sig_udf(num_perm, shingle_k)(norm).alias("sig"),
     )
 
 
@@ -161,6 +397,7 @@ def minhash_lsh_candidates(
             .filter(F.col("_df") <= max_bucket_size)
             .drop("_df")
         )
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -260,7 +497,7 @@ def verify_jaccard(
     sh = df.select(
         F.col(key).alias("_k"),
         char_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = F.transform(
         F.array(F.struct(inter.alias("i"))),

@@ -31,91 +31,10 @@ from extractthinker_spark.contracts import (
 CLASS_RESULT_TYPE = "struct<name:string, confidence:int>"
 
 
-_REGEX_META = set("\\^$.|?*+()[]{}")
-
-
-def _literal_prefix(pattern: str) -> tuple[str, bool, bool]:
-    """(prefix, is_full, ci): the longest leading literal run of
-    ``pattern`` (after an optional leading ``(?i)`` flag) and whether
-    it covers the whole pattern.
-
-    A regex match implies its mandatory leading literal occurs in the
-    text, so the prefix is a sound ``contains`` prefilter — with two
-    guards: a top-level ``|`` makes the prefix optional (return none),
-    and a quantifier directly after the run (``? * {``) makes the last
-    literal char optional (drop it). ``\\X`` for punctuation X is the
-    literal X; ``\\`` before an alphanumeric is a class/anchor
-    (``\\d``, ``\\b``...) and ends the run."""
-    ci = pattern.startswith("(?i)")
-    body = pattern[4:] if ci else pattern
-    # top-level alternation: every branch would need its own prefix
-    depth, i = 0, 0
-    while i < len(body):
-        c = body[i]
-        if c == "\\":
-            i += 2
-            continue
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif c == "|" and depth == 0:
-            return "", False, ci
-        i += 1
-    out: list[str] = []
-    i = 0
-    while i < len(body):
-        c = body[i]
-        if c == "\\":
-            nxt = body[i + 1] if i + 1 < len(body) else ""
-            if nxt and not nxt.isalnum():
-                out.append(nxt)
-                i += 2
-                continue
-            break
-        if c in _REGEX_META:
-            break
-        out.append(c)
-        i += 1
-    full = i >= len(body)
-    if not full and i < len(body) and body[i] in "?*{" and out:
-        out.pop()  # the char under the quantifier is optional
-    return "".join(out), full, ci
-
-
-def _pattern_pred(text: Column, pattern: str) -> Column:
-    """Boolean predicate for "``pattern`` fires somewhere in ``text``",
-    built so the (expensive, non-codegen-friendly) regex scan runs as
-    rarely as possible:
-
-    * whole pattern literal → a plain ``contains`` (no regex at all) —
-      exactly the same boolean for every input;
-    * literal prefix >= 3 chars → ``contains`` gate AND the regex
-      (codegen And short-circuits, so non-candidate rows skip the
-      regex scan entirely; the gate is implied by any match, so this
-      is exact for every input);
-    * otherwise → the regex alone.
-
-    ``(?i)`` patterns are left as regexes: the equivalent
-    ``contains(lower(text), lit)`` was A/B-measured ~10% SLOWER on the
-    consensus bench (the repeated ``lower`` subtree is not reliably
-    deduplicated across the scorer's CASE conditions, so each literal
-    paid a fresh lowered copy of the text), and Java's ASCII-CI
-    matcher is cheap at these pattern lengths."""
-    lit, full, ci = _literal_prefix(pattern)
-    if ci:
-        return text.rlike(pattern)
-    if full and lit:
-        return text.contains(lit)
-    if len(lit) >= 3:
-        return text.contains(lit) & text.rlike(pattern)
-    return text.rlike(pattern)
-
-
 def _hits(text: Column, patterns: list[str]) -> Column:
     h = F.lit(0)
     for p in patterns:
-        h = h + F.when(_pattern_pred(text, p), 1).otherwise(0)
+        h = h + F.when(text.rlike(p), 1).otherwise(0)
     return h
 
 

@@ -199,29 +199,12 @@ def extract_json_str(text: Column) -> Column:
     when-chain: a CASE branch references its value in the condition
     AND the result, and conditional-branch CSE does not deduplicate
     them — the fence regex (the expensive one: lazy body match) ran
-    twice per row, measured ~1.6x the whole extraction.
-
-    Each regex is additionally gated behind a cheap literal
-    ``contains`` prefilter it provably implies (the fence pattern
-    cannot match without a \`\`\` in the text, the bare pattern not
-    without a '{'), and the bare extraction is nested under the
-    fenced-miss branch in a second let-binding, so it only runs at
-    all when the fence missed — rows with no JSON pay two substring
-    scans and zero regex executions, fenced rows pay exactly the
-    fence regex, bare rows skip the (more expensive) fence regex."""
-    fenced = F.when(
-        text.contains("```"), F.regexp_extract(text, JSON_FENCE_RE, 1)
-    ).otherwise(F.lit(""))
-    bare = F.when(
-        text.contains("{"), F.regexp_extract(text, JSON_BARE_RE, 1)
-    ).otherwise(F.lit(""))
-    bare_or_null = F.transform(
-        F.array(F.struct(bare.alias("b"))),
-        lambda t: F.when(t["b"] != "", t["b"]),
-    )[0]
+    twice per row, measured ~1.6x the whole extraction."""
+    fenced = F.regexp_extract(text, JSON_FENCE_RE, 1)
+    bare = F.regexp_extract(text, JSON_BARE_RE, 1)
     return F.transform(
-        F.array(F.struct(fenced.alias("f"))),
-        lambda s: F.when(s["f"] != "", s["f"]).otherwise(bare_or_null),
+        F.array(F.struct(fenced.alias("f"), bare.alias("b"))),
+        lambda s: F.when(s["f"] != "", s["f"]).when(s["b"] != "", s["b"]),
     )[0]
 
 

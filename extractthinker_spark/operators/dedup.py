@@ -83,9 +83,14 @@ def _shingles_of_fn(k: int):
         if n <= k:
             return [s]
         if n > 256 and "\x00" not in s:
-            arr = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            # explicit-LE read + to-native convert (no-op copy on LE
+            # hosts) so the native-endian U{k} view is correct on any
+            # platform
+            arr = np.frombuffer(
+                s.encode("utf-32-le"), dtype="<u4"
+            ).astype(np.uint32, copy=False)
             w = np.lib.stride_tricks.sliding_window_view(arr, k)
-            grams = np.ascontiguousarray(w).view(f"<U{k}").ravel()
+            grams = np.ascontiguousarray(w).view(f"U{k}").ravel()
             return pd.unique(grams).tolist()
         return list(dict.fromkeys(s[i:i + k] for i in range(n - k + 1)))
 
@@ -293,47 +298,68 @@ def _minhash_sig_udf(num_perm: int, shingle_k: int):
     # to [NULL], so their one "gram hash" is exactly 42
     null_sig = [int((42 * a + b) % int(M)) for a, b in zip(A, B)]
 
+    # hash/fold in bounded slabs (doc-aligned) so Python-worker memory
+    # stays O(slab + one doc) even when an Arrow batch is full of
+    # mega-docs — the old explode pipeline spilled to shuffle instead
+    FLUSH_GRAMS = 1 << 21
+
+    def _hash_flat(flat):
+        h_u64 = np.empty(len(flat), dtype=np.uint64)
+        by_len: dict[int, list[int]] = {}
+        for idx, b in enumerate(flat):
+            by_len.setdefault(len(b), []).append(idx)
+        for length, idxs in by_len.items():
+            if 0 < length < 32:
+                mat = np.frombuffer(
+                    b"".join(flat[i] for i in idxs), dtype=np.uint8
+                ).reshape(-1, length)
+                h_u64[idxs] = _xxh64_fixed_np(mat)
+            else:
+                for i in idxs:
+                    h_u64[i] = _xxh64_any(flat[i])
+        return h_u64.view(np.int64) % M
+
+    def _mins_of(flat, counts):
+        h = _hash_flat(flat)
+        starts = np.concatenate(
+            ([0], np.cumsum(counts[:-1], dtype=np.int64))
+        )
+        mins = np.empty((len(counts), num_perm), dtype=np.int64)
+        for i in range(num_perm):
+            v = (h * A[i] + B[i]) % M
+            mins[:, i] = np.minimum.reduceat(v, starts)
+        return mins
+
     def sig_batch(texts: pd.Series) -> pd.Series:
-        grams_per_doc = []
+        computed: list[bool] = []
+        sig_rows: list[list[int]] = []
         flat: list[bytes] = []
         counts: list[int] = []
+
+        def flush():
+            nonlocal flat, counts
+            if counts:
+                sig_rows.extend(_mins_of(flat, counts).tolist())
+                flat, counts = [], []
+
         for s in texts:
             if s is None:
-                grams_per_doc.append(None)
+                computed.append(False)
                 continue
             gs = shingles_of(s)
-            grams_per_doc.append(len(gs))
+            computed.append(True)
             counts.append(len(gs))
             flat.extend(g.encode("utf-8") for g in gs)
-        if flat:
-            h_u64 = np.empty(len(flat), dtype=np.uint64)
-            by_len: dict[int, list[int]] = {}
-            for idx, b in enumerate(flat):
-                by_len.setdefault(len(b), []).append(idx)
-            for length, idxs in by_len.items():
-                if 0 < length < 32:
-                    mat = np.frombuffer(
-                        b"".join(flat[i] for i in idxs), dtype=np.uint8
-                    ).reshape(-1, length)
-                    h_u64[idxs] = _xxh64_fixed_np(mat)
-                else:
-                    for i in idxs:
-                        h_u64[i] = _xxh64_any(flat[i])
-            h = h_u64.view(np.int64) % M
-            starts = np.concatenate(
-                ([0], np.cumsum(counts[:-1], dtype=np.int64))
-            )
-            mins = np.empty((len(counts), num_perm), dtype=np.int64)
-            for i in range(num_perm):
-                v = (h * A[i] + B[i]) % M
-                mins[:, i] = np.minimum.reduceat(v, starts)
+            if len(flat) >= FLUSH_GRAMS:
+                flush()
+        flush()
         out = []
         seg = 0
-        for g in grams_per_doc:
-            if g is None:
+        for was_computed in computed:
+            if not was_computed:
                 out.append(null_sig)
             else:
-                out.append(mins[seg].tolist())
+                out.append(sig_rows[seg])
                 seg += 1
         return pd.Series(out)
 
@@ -354,12 +380,31 @@ def minhash_signatures_df(
     shingle_k: int = 5,
 ) -> DataFrame:
     """(key, sig: array<bigint>) minhash signatures — one Arrow batch
-    pass, zero shuffles (see _minhash_sig_udf for the bit-exactness
-    argument vs the previous explode + 64-min-aggregate pipeline)."""
+    pass per row plus a per-key element-wise ``min`` merge (see
+    _minhash_sig_udf for the bit-exactness argument vs the previous
+    per-shingle explode + 64-min-aggregate pipeline).
+
+    The merge preserves the old contract for DUPLICATE keys exactly:
+    the previous groupBy aggregated one signature over the UNION of
+    all same-key rows' shingles, and min over a union is the min of
+    the per-row minima (per permutation), so the element-wise min of
+    per-row signatures is identical — including null-text rows, whose
+    constant perm(42) signature contributes exactly the NULL shingle's
+    seed-passthrough hash. For unique keys the aggregate is an
+    identity; its exchange carries the same (key, 64 longs) rows the
+    old plan shuffled, while the per-shingle row blowup stays gone."""
     norm = F.lower(normalize_ws_sql(F.col(text_col)))
-    return df.select(
+    per_row = df.select(
         F.col(key).alias("_k"),
         _minhash_sig_udf(num_perm, shingle_k)(norm).alias("sig"),
+    )
+    aggs = [
+        F.min(F.element_at("sig", i + 1)).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    wide = per_row.groupBy("_k").agg(*aggs)
+    return wide.select(
+        "_k", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
     )
 
 

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    runs = max(1, int(sys.argv[1])) if len(sys.argv) > 1 else 3
     from extractthinker_spark.session import get_spark
 
     from jobs.curate_job import main as curate_main

@@ -118,6 +118,45 @@ def test_minhash_signature_null_and_edge_docs(spark):
     assert len(set(len(s) for s in sigs.values())) == 1
 
 
+def test_minhash_signature_duplicate_keys_union_merge(spark):
+    # The old explode+groupBy pipeline aggregated ONE signature per key
+    # over the union of all same-key rows' shingles. The per-row UDF +
+    # element-wise min merge must reproduce that: min over a union is
+    # the min of per-row minima.
+    import pyspark.sql.functions as F
+
+    from extractthinker_spark.operators.dedup import minhash_signatures_df
+
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    sigs = {
+        r["_k"]: r["sig"]
+        for r in minhash_signatures_df(dup, "doc_id", "text").collect()
+    }
+    assert len(sigs) == 2
+    # key 1's merged text is not the same string as key 2 (shingles
+    # cross the concatenation boundary differently), but every one of
+    # key 2's shingle windows that also occurs in either key-1 row
+    # contributes to both; at minimum the signature must be the
+    # element-wise min of the two single-row signatures:
+    one = {
+        r["_k"]: r["sig"]
+        for r in minhash_signatures_df(
+            spark.createDataFrame(
+                [(10, "alpha beta gamma delta"),
+                 (11, "epsilon zeta eta theta")],
+                "doc_id int, text string",
+            ),
+            "doc_id", "text",
+        ).collect()
+    }
+    expected = [min(a, b) for a, b in zip(one[10], one[11])]
+    assert sigs[1] == expected
+
+
 def test_char_shingles_numpy_path_matches_loop(spark):
     # >256 chars takes the numpy window/view path; make sure it agrees
     # with the small-string loop on a repeated pattern with a distinct
